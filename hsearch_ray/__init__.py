@@ -1,0 +1,25 @@
+"""hsearch_ray — Ray-Data-native near-duplicate detection & clustering engine.
+
+A from-scratch re-expression of the capabilities of acgtun/hsearch
+(LSH-bucketed similarity search + exact verification + transitive
+clustering + suffix/substring analysis; see SURVEY.md) for source-code
+near-dup detection at web scale, built on ray.data.Dataset pipelines:
+
+    read_parquet -> map_batches(normalize+sha256)      (stateless)
+      -> groupby(sha256) exact dedup                    (shuffle 1)
+      -> map_batches(Signer actor pool)                 minhash+simhash
+      -> band explode -> groupby(band, hash)            (shuffle 2)  candidate pairs
+      -> groupby(a,b) distinct                          (shuffle 3)
+      -> map_batches(Verifier actor pool)               exact Jaccard
+      -> distributed connected components               (shuffles 4..)
+      -> clusters / pairs / metrics parquet sinks
+
+All hashing is deterministic and seeded (``config.seed``); the
+single-process oracle in ``reference_impl`` shares the exact same
+kernels in ``hashing`` so signatures are bit-identical between paths.
+"""
+
+from hsearch_ray.config import PipelineConfig
+
+__all__ = ["PipelineConfig"]
+__version__ = "0.1.0"

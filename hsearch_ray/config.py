@@ -1,0 +1,62 @@
+"""Pipeline configuration.
+
+The reference exposes its knobs as CLI flags / compile-time constants
+(K, L, W, R in hclust2.cpp:184-194; 512-dim/16-bit family in
+pcluster.cpp:13-17 — see /root/reference).  Here the whole extension
+surface is one dataclass passed to every stage; composition of stages
+is plain Python over ``ray.data.Dataset`` (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- shingling (analog of k-mer window, kmer_search.cpp:68-81) ---
+    shingle_k: int = 9          # k-char (byte) shingle window
+    # --- MinHash signature (analog of the 8k-dim embedding, hclust.cpp:71-85) ---
+    num_perms: int = 128        # permutations = signature width
+    # --- LSH banding (analog of K bits x L tables, lsh.hpp:51-59) ---
+    num_bands: int = 16         # L tables
+    rows_per_band: int = 8      # K concatenated hashes per table (16*8=128)
+    # --- SimHash fingerprint (analog of the 512-dim frequency vector
+    #     + cosine-LSH bits, pcluster/lsh.cpp:40-49) ---
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 3   # prefilter: pairs farther than this skip exact verify? no —
+    # NOTE: simhash is a *cheap precision lever*: pairs passing LSH but with
+    # hamming > prefilter_hamming skip exact verification only when
+    # ``use_simhash_prefilter`` is set (lossy; off by default for recall).
+    use_simhash_prefilter: bool = False
+    prefilter_hamming: int = 16
+    # --- verification (analog of exact distance <= R, kmer_search.cpp:107-111) ---
+    jaccard_threshold: float = 0.7
+    # --- containment / fingerprint pass (analog of the suffix-array shared-substring
+    #     pass, IGC/shuffle_data/IGC/suffix_array.cpp + gen_kmers_from_suffix_array.cpp) ---
+    winnow_window: int = 16        # winnowing window (fingerprints = window minima)
+    containment_min_common: int = 3  # shared fingerprints to become a candidate pair
+    containment_threshold: float = 0.5  # |A ∩ B| / min(|A|,|B|) over shingle sets
+    # --- skew handling (the reference's unhandled weak point, pcluster.cpp:37-66) ---
+    max_bucket_pairs_exhaustive: int = 64   # buckets up to this size emit all pairs
+    hot_bucket_window: int = 4              # larger buckets: star to min + simhash-sorted ring window
+    # --- determinism ---
+    seed: int = 42
+    # --- execution sizing ---
+    sign_batch_size: int = 512      # rows per Signer batch (content can be tens of KB/row)
+    verify_batch_size: int = 4096   # candidate pairs per Verifier batch
+    sign_concurrency: tuple[int, int] = (2, 8)   # Signer actor pool min/max
+    verify_concurrency: tuple[int, int] = (2, 8)
+    # --- filters (M10 analog: min-length filter, pcluster.cpp:23-25) ---
+    min_content_len: int = 1       # drop empty files from similarity (kept in exact dedup)
+    max_content_len: int = 8 << 20  # drop pathological rows from the similarity path
+
+    def __post_init__(self) -> None:
+        if self.num_bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"num_bands*rows_per_band must equal num_perms "
+                f"({self.num_bands}*{self.rows_per_band} != {self.num_perms})"
+            )
+
+
+DEFAULT_CONFIG = PipelineConfig()

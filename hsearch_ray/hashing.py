@@ -1,0 +1,197 @@
+"""Deterministic, vectorized hashing kernels shared by the distributed
+pipeline and the single-process oracle (``reference_impl``).
+
+Everything here is a pure function of ``(config.seed, input bytes)`` —
+no wall-clock, no global RNG — so retried Ray tasks reproduce identical
+rows and the distributed path is bit-identical to the oracle
+(BASELINE.json: recall >= 0.99 "at the same shingle/signature config").
+
+Reference analogs (/root/reference):
+  - rolling shingle hash  <- k-mer windowing, hclust/src/hclust/kmer_search.cpp:68-81
+    and base-k integer packing, pcluster/src/pcluster/util.hpp:244-266
+  - minhash permutations  <- the L x K p-stable hash family, hclust/src/hclust/lsh.hpp:10-59
+  - simhash               <- cosine-LSH sign bits over the bag-of-shingles,
+    pcluster/src/pcluster/lsh.cpp:40-49
+  - band hash             <- concatenated bucket-index key, hclust/src/hclust/hclust.cpp:166-173
+The reference seeds all of these from ``srand(time(NULL))`` (non-reproducible,
+lsh.hpp:19-20); here every family derives from ``(seed, band)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+U64 = np.uint64
+_MASK64 = U64(0xFFFFFFFFFFFFFFFF)
+# polynomial base for the rolling shingle hash (odd, high-entropy)
+_POLY_BASE = U64(0x100000001B3)  # FNV-1a prime
+# splitmix64 constants (public-domain mixer, Steele et al.)
+_SM_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_M1 = U64(0xBF58476D1CE4E5B9)
+_SM_M2 = U64(0x94D049BB133111EB)
+
+_ERRSTATE = {"over": "ignore"}  # uint64 arithmetic is intentionally mod 2^64
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
+    """Finalizing mixer; uint64 in, uint64 out (vectorized)."""
+    with np.errstate(**_ERRSTATE):
+        z = (np.asarray(x, dtype=U64) + _SM_GAMMA) & _MASK64
+        z = ((z ^ (z >> U64(30))) * _SM_M1) & _MASK64
+        z = ((z ^ (z >> U64(27))) * _SM_M2) & _MASK64
+        return z ^ (z >> U64(31))
+
+
+def perm_params(seed: int, num_perms: int) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) multiply-shift permutation parameters, a odd, shape (num_perms,).
+
+    Derived from a PCG64 stream keyed on the seed — identical on every
+    worker; regenerated per actor instead of shipped (SURVEY.md §2.3 T1).
+    """
+    rng = np.random.Generator(np.random.PCG64(seed ^ 0xA5A5_0001))
+    a = rng.integers(1, 1 << 63, size=num_perms, dtype=np.uint64) * U64(2) + U64(1)
+    b = rng.integers(0, 1 << 63, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+def normalize_for_shingles(content: bytes) -> bytes:
+    """Similarity-space normalization: CRLF -> LF only.
+
+    sha256 / exact dedup stays on RAW bytes (FIXTURES.md F5: CRLF and LF
+    variants share shingles but keep distinct sha256).
+    """
+    return content.replace(b"\r\n", b"\n") if b"\r" in content else content
+
+
+def shingle_hashes(content: bytes, k: int) -> np.ndarray:
+    """Unique uint64 hashes of all k-byte shingles of ``content`` (sorted).
+
+    Rolling polynomial hash over raw bytes (UTF-8 level, per SURVEY.md §7.3
+    determinism requirement) followed by a splitmix64 finalizer.  Contents
+    shorter than k yield one whole-content shingle; empty -> empty array.
+    """
+    return np.unique(shingle_stream(content, k))
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """128-perm (len(a)) MinHash signature of a unique-shingle array.
+
+    sig[p] = min over s of (a[p]*s + b[p]) mod 2^64.  Empty shingle set
+    -> all-max sentinel (never collides into LSH buckets of real files
+    because band hashes mix in the band id).
+    """
+    if shingles.size == 0:
+        return np.full(a.shape[0], _MASK64, dtype=U64)
+    with np.errstate(**_ERRSTATE):
+        vals = (a[:, None] * shingles[None, :] + b[:, None]) & _MASK64
+    return vals.min(axis=1)
+
+
+_BIT_SHIFTS = np.arange(64, dtype=U64)
+
+
+def simhash64(shingles: np.ndarray) -> np.uint64:
+    """64-bit SimHash of the unique-shingle set (sign of per-bit vote sum)."""
+    if shingles.size == 0:
+        return U64(0)
+    bits = ((shingles[:, None] >> _BIT_SHIFTS[None, :]) & U64(1)).astype(np.int64)
+    votes = 2 * bits.sum(axis=0) - shingles.size  # (+1/-1 votes summed)
+    out = np.where(votes > 0, U64(1), U64(0)) << _BIT_SHIFTS
+    return U64(np.bitwise_or.reduce(out))
+
+
+def band_hashes(sig: np.ndarray, num_bands: int, rows_per_band: int) -> np.ndarray:
+    """Fold each band's row slice of the signature into one uint64 key.
+
+    Mixes the band id into the accumulator so identical row values in
+    different bands never collide (replaces the reference's per-table
+    string keys, hclust.cpp:166-173).  Works on a single signature
+    (num_perms,) or a batch (n, num_perms) -> (n, num_bands).
+    """
+    single = sig.ndim == 1
+    s = sig.reshape(-1, num_bands, rows_per_band)
+    with np.errstate(**_ERRSTATE):
+        acc = splitmix64(np.arange(num_bands, dtype=U64))[None, :] * np.ones(
+            (s.shape[0], 1), dtype=U64
+        )
+        for r in range(rows_per_band):
+            acc = splitmix64((acc ^ s[:, :, r]) & _MASK64)
+    return acc[0] if single else acc
+
+
+def hamming64(x: np.ndarray | int, y: np.ndarray | int) -> np.ndarray | int:
+    """Popcount of xor — SimHash distance (F1 analog: popcount(x^y))."""
+    v = np.bitwise_xor(np.asarray(x, dtype=U64), np.asarray(y, dtype=U64))
+    # vectorized popcount via unpackbits on the byte view
+    b = v.reshape(-1).view(np.uint8)
+    cnt = np.unpackbits(b).reshape(-1, 8 * v.dtype.itemsize).sum(axis=1)
+    return cnt.reshape(np.shape(v)) if np.ndim(v) else int(cnt[0])
+
+
+def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique uint64 arrays (verification;
+    analog of the exact Euclidean check, kmer_search.cpp:107-111)."""
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+def containment(a: np.ndarray, b: np.ndarray) -> float:
+    """|A ∩ B| / min(|A|,|B|) — near-containment score (SURVEY.md §7.3)."""
+    m = min(a.size, b.size)
+    if m == 0:
+        return 0.0
+    return np.intersect1d(a, b, assume_unique=True).size / m
+
+
+def sha256_hex(content: bytes) -> str:
+    return hashlib.sha256(content).hexdigest()
+
+
+def file_id_from_key(repo: str, path: str, commit: str) -> int:
+    """Deterministic 63-bit row id from the (repo, path, commit) key.
+
+    63 bits (top bit clear) so the id round-trips losslessly through
+    int64 engines (DuckDB oracle).  At the 10^12-row design scale this
+    widens to binary(16) of the same digest; the pipeline only relies
+    on ids being unique + orderable, not on their width.
+    """
+    h = hashlib.sha256(f"{repo}\x00{path}\x00{commit}".encode()).digest()
+    return int.from_bytes(h[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def winnow_fingerprints(shingle_stream: np.ndarray, window: int) -> np.ndarray:
+    """Winnowing (Schleimer et al., SIGMOD 2003): per sliding window of
+    ``window`` consecutive shingle hashes keep the minimum -> unique
+    fingerprints.  ``shingle_stream`` is the POSITIONAL (non-unique)
+    rolling-hash stream.  This is the scalable stand-in for the
+    reference's global suffix-array shared-substring pass
+    (suffix_array.cpp:72-84, gen_kmers_from_suffix_array.cpp:51-65):
+    two files sharing a long substring share its window minima.
+    """
+    n = shingle_stream.size
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    if n <= window:
+        return np.unique(shingle_stream.min(keepdims=True))
+    w = np.lib.stride_tricks.sliding_window_view(shingle_stream, window)
+    return np.unique(w.min(axis=1))
+
+
+def shingle_stream(content: bytes, k: int) -> np.ndarray:
+    """Positional (non-unique) rolling-hash stream — input to winnowing."""
+    b = np.frombuffer(content, dtype=np.uint8)
+    n = b.size - k + 1
+    if n <= 0:
+        if b.size == 0:
+            return np.empty(0, dtype=U64)
+        n, k = 1, b.size
+    with np.errstate(**_ERRSTATE):
+        acc = np.zeros(n, dtype=U64)
+        for j in range(k):
+            acc = (acc * _POLY_BASE + b[j : j + n]) & _MASK64
+    return splitmix64(acc)
