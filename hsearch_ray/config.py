@@ -45,8 +45,10 @@ class PipelineConfig:
     # --- execution sizing ---
     sign_batch_size: int = 512      # rows per Signer batch (content can be tens of KB/row)
     verify_batch_size: int = 4096   # candidate pairs per Verifier batch
-    sign_concurrency: tuple[int, int] = (2, 8)   # Signer actor pool min/max
-    verify_concurrency: tuple[int, int] = (2, 8)
+    # actor-pool sizing: min=1 so small clusters (tests at num_cpus=4) never
+    # deadlock on pool preallocation; max bounds come from the session size
+    sign_concurrency: tuple[int, int] = (1, 8)   # Signer actor pool min/max
+    verify_concurrency: tuple[int, int] = (1, 8)
     # --- filters (M10 analog: min-length filter, pcluster.cpp:23-25) ---
     min_content_len: int = 1       # drop empty files from similarity (kept in exact dedup)
     max_content_len: int = 8 << 20  # drop pathological rows from the similarity path

@@ -1,0 +1,509 @@
+"""Named queries over the driver's parquet tables + their DuckDB oracles.
+
+Every entry in QUERIES is a callable ``(sf_dir) -> Dataset | DataFrame |
+pyarrow.Table``; ORACLE_SQL holds the ANSI-SQL equivalent for the
+driver's side-by-side check (row count + schema + order-insensitive
+value hash).  Column names are kept identical in both implementations.
+
+Float discipline (value-hash safety): per-row IEEE float ops (a single
+product, a single division of ints, a round) are bit-identical between
+NumPy and DuckDB; ORDER-SENSITIVE float reductions are not.  So every
+aggregated money value is converted to integer cents PER ROW before
+summing, and similarity scores are rounded before ranking.
+
+Non-SQL-expressible pipelines (MinHash LSH, SimHash, containment,
+bucketed ANN) have no oracle entry -> driver records rows-only checks;
+their correctness gate is the pytest oracle vs reference_impl.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+from hsearch_ray.config import PipelineConfig
+from hsearch_ray.stages import textstats
+from hsearch_ray.stages.agg import distinct_rows, grouped_agg
+
+# ---------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _md5_batch(df: pd.DataFrame) -> pd.DataFrame:
+    import hashlib
+
+    df = df.copy()
+    df["h"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
+    return df
+
+
+def _cents(x: pd.Series | np.ndarray) -> np.ndarray:
+    # floor(x*100 + 0.5): identical IEEE ops in NumPy and DuckDB, immune to
+    # the half-even (numpy) vs half-away (duckdb) round() divergence
+    return np.floor(np.asarray(x) * 100 + 0.5).astype(np.int64)
+
+
+# ---------------------------------------------------------------- dedup family
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    """Exact dedup survivors (D1): keep min doc_id per distinct text."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(_md5_batch, batch_format="pandas", batch_size=4096)
+    out = grouped_agg(hashed, ["h"], {"doc_id": ["min"]}, count_alias="n_copies")
+    return pd.DataFrame(
+        {"doc_id": out["doc_id__min"].astype("int64"),
+         "n_copies": out["n_copies"].astype("int64")}
+    )
+
+
+def q_exact_dup_pairs_docs(sf_dir: str):
+    """All (a,b) doc pairs with byte-identical text, a<b (D1 pair form)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        ii, jj = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+
+    hashed = ds.map_batches(_md5_batch, batch_format="pandas", batch_size=4096)
+    stats = grouped_agg(hashed, ["h"], {"doc_id": ["min"]}, count_alias="n")
+    dup_h = set(stats.loc[stats["n"] > 1, "h"])
+    if not dup_h:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    dup_rows = hashed.map_batches(
+        lambda df: df[df["h"].isin(dup_h)][["h", "doc_id"]], batch_format="pandas"
+    ).to_pandas()
+    out = (
+        dup_rows.groupby("h", sort=False)
+        .apply(pairs, include_groups=False)
+        .reset_index(drop=True)
+    )
+    return out[["a", "b"]].astype("int64")
+
+
+def _docs_as_corpus(sf_dir: str):
+    """documents -> north-rule corpus shape with file_id := doc_id."""
+    def adapt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "repo": pa.array([f"src/{s}" for s in batch["source"].to_pylist()], pa.string()),
+                "path": pa.array([f"doc/{int(d)}.txt" for d in batch["doc_id"].to_pylist()], pa.string()),
+                "commit": pa.array(["head"] * n, pa.string()),
+                "lang": batch["lang"].cast(pa.string()),
+                "content": batch["text"].cast(pa.string()),
+                "file_id": batch["doc_id"].cast(pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents").map_batches(adapt, batch_format="pyarrow")
+
+
+def q_near_dup_clusters_docs(sf_dir: str):
+    """Flagship: full MinHash-LSH near-dup pipeline; (doc_id, cluster_id)."""
+    from hsearch_ray.pipelines.dedup import dedup_pipeline
+
+    res = dedup_pipeline(_docs_as_corpus(sf_dir), PipelineConfig())
+    return res.clusters.rename_columns(["doc_id", "cluster_id"])
+
+
+def q_near_dup_pairs_docs(sf_dir: str):
+    """Verified near-dup pairs (a, b, jaccard rounded to 6)."""
+    from hsearch_ray.pipelines.dedup import dedup_pipeline
+
+    res = dedup_pipeline(_docs_as_corpus(sf_dir), PipelineConfig())
+
+    def round_j(batch: pa.Table) -> pa.Table:
+        j = np.round(batch["jaccard"].to_numpy(zero_copy_only=False), 6)
+        return batch.set_column(batch.schema.get_field_index("jaccard"), "jaccard",
+                                pa.array(j, pa.float64()))
+
+    return res.pairs.map_batches(round_j, batch_format="pyarrow")
+
+
+def q_simhash_docs(sf_dir: str):
+    """(doc_id, simhash) 64-bit fingerprints (M5/F4 analog)."""
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.signatures import sign
+
+    cfg = PipelineConfig()
+    sigs = sign(normalize(_docs_as_corpus(sf_dir)), cfg)
+    return sigs.select_columns(["file_id", "simhash"]).rename_columns(["doc_id", "simhash"])
+
+
+def q_containment_pairs_docs(sf_dir: str):
+    """Near-containment pairs via winnowing fingerprints (J5/O1 analog)."""
+    from hsearch_ray.stages.containment import containment_pairs
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.signatures import sign
+
+    cfg = PipelineConfig()
+    corpus = normalize(_docs_as_corpus(sf_dir)).materialize()
+    sigs = sign(corpus, cfg, with_fingerprints=True)
+    pairs = containment_pairs(sigs, corpus, cfg)
+
+    def round_c(batch: pa.Table) -> pa.Table:
+        c = np.round(batch["containment"].to_numpy(zero_copy_only=False), 6)
+        return batch.set_column(
+            batch.schema.get_field_index("containment"), "containment",
+            pa.array(c, pa.float64()),
+        )
+
+    return pairs.map_batches(round_c, batch_format="pyarrow")
+
+
+def q_lsh_bucket_histogram(sf_dir: str):
+    """LSH bucket-size histogram (A4 skew telemetry): (members, n_buckets)."""
+    from hsearch_ray.stages.lsh import band_explode, bucket_stats
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.signatures import sign
+
+    cfg = PipelineConfig()
+    banded = band_explode(sign(normalize(_docs_as_corpus(sf_dir)), cfg), cfg)
+    stats = bucket_stats(banded)
+    hist = stats.groupby("members", as_index=False).agg(n_buckets=("members", "size"))
+    hist["members"] = hist["members"].astype("int64")
+    hist["n_buckets"] = hist["n_buckets"].astype("int64")
+    return hist
+
+
+# ---------------------------------------------------------------- text analysis
+
+
+def q_token_count_docs(sf_dir: str):
+    return textstats.token_counts(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_quality_docs(sf_dir: str):
+    return textstats.quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_langid_docs(sf_dir: str):
+    return textstats.langid(_read(sf_dir, "documents", columns=["doc_id", "text"]))
+
+
+def q_lang_count_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = grouped_agg(ds, ["lang"], {"n_chars": ["sum"]}, count_alias="n_docs")
+    return pd.DataFrame(
+        {"lang": out["lang"], "n_docs": out["n_docs"].astype("int64"),
+         "sum_chars": out["n_chars__sum"].astype("int64")}
+    )
+
+
+# ---------------------------------------------------------------- relational coverage
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style grouped aggregate (A1/A2/A10 analog); money in cents."""
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "qty_c": _cents(df["l_quantity"]),
+                "base_c": _cents(df["l_extendedprice"]),
+                "disc_c": _cents(df["l_extendedprice"] * (1 - df["l_discount"])),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pandas", batch_size=65536)
+    out = grouped_agg(
+        prepped, ["l_returnflag", "l_linestatus"],
+        {"qty_c": ["sum"], "base_c": ["sum"], "disc_c": ["sum"]},
+        count_alias="count_order",
+    )
+    return out.rename(
+        columns={"qty_c__sum": "sum_qty_c", "base_c__sum": "sum_base_c",
+                 "disc_c__sum": "sum_disc_c"}
+    )
+
+
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast-join (J2): orders ⋈ customer ⋈ nation, grouped."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    ref = ray.put((c2n, n2name))
+
+    class _Attach:
+        def __init__(self):
+            self.c2n, self.n2name = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            nk = df["o_custkey"].map(self.c2n)
+            return pd.DataFrame(
+                {
+                    "nation": nk.map(self.n2name),
+                    "price_c": _cents(df["o_totalprice"]),
+                }
+            )
+
+    attached = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        _Attach, batch_format="pandas", batch_size=65536, concurrency=(1, 4)
+    )
+    out = grouped_agg(attached, ["nation"], {"price_c": ["sum"]}, count_alias="n_orders")
+    return pd.DataFrame(
+        {"nation": out["nation"], "n_orders": out["n_orders"].astype("int64"),
+         "total_c": out["price_c__sum"].astype("int64")}
+    )
+
+
+def q_top_orders(sf_dir: str):
+    """Top-k by value (O3 analog): 10 priciest orders, deterministic ties."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"], "price_c": _cents(df["o_totalprice"])})
+
+    return (
+        ds.map_batches(prep, batch_format="pandas")
+        .sort(["price_c", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_distinct_segments(sf_dir: str):
+    """Distinct values (D5 analog)."""
+    return distinct_rows(_read(sf_dir, "customer", columns=["c_mktsegment"]), ["c_mktsegment"])
+
+
+def q_filter_agg_events(sf_dir: str):
+    """Filter + grouped count + distinct-count (M10 + A1)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "value"])
+    filtered = ds.filter(expr="value >= 10").materialize()
+    counts = grouped_agg(filtered, ["event_type"], {}, count_alias="n")
+    uniq = distinct_rows(filtered, ["event_type", "user_id"])
+    n_users = (
+        uniq.groupby("event_type", as_index=False)
+        .agg(n_users=("user_id", "nunique"))
+    )
+    out = counts.merge(n_users, on="event_type")
+    out["n"] = out["n"].astype("int64")
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
+def q_events_by_day(sf_dir: str):
+    """Time bucketing: events per (day, type)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"day": df["ts"].dt.strftime("%Y-%m-%d"), "event_type": df["event_type"]}
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    out = grouped_agg(prepped, ["day", "event_type"], {}, count_alias="n")
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_supplier_part_stats(sf_dir: str):
+    """Min/Max/Sum grouped stats over part (A10 analog)."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": df["p_brand"],
+                "p_size": df["p_size"].astype("int64"),
+                "price_c": _cents(df["p_retailprice"]),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    out = grouped_agg(
+        prepped, ["p_brand"], {"p_size": ["min", "max"], "price_c": ["sum"]},
+        count_alias="n",
+    )
+    return out.rename(
+        columns={"p_size__min": "min_size", "p_size__max": "max_size",
+                 "price_c__sum": "sum_price_c"}
+    )
+
+
+# ---------------------------------------------------------------- similarity search
+
+
+def _load_queries(sf_dir: str, n: int = 10) -> dict[int, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vid = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    mask = vid < n
+    emb = tbl["embedding"].combine_chunks()
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.chunk(0)
+    dim = len(emb[0])
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+    return {int(v): flat[i] for i, v in enumerate(vid) if mask[i]}
+
+
+def q_ann_topk(sf_dir: str):
+    """Exact brute-force cosine top-5 for query vectors vec_id<10 (J2)."""
+    from hsearch_ray.stages.ann import brute_force_topk
+
+    emb = _read(sf_dir, "embeddings")
+    return brute_force_topk(emb, _load_queries(sf_dir), k=5)
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    """Bucketed (random-hyperplane) approximate top-5 — scale path, rows-only."""
+    from hsearch_ray.stages.ann import lsh_topk
+
+    emb = _read(sf_dir, "embeddings")
+    return lsh_topk(emb, _load_queries(sf_dir), k=5)
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES = {
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
+    "near_dup_clusters_docs": q_near_dup_clusters_docs,
+    "near_dup_pairs_docs": q_near_dup_pairs_docs,
+    "simhash_docs": q_simhash_docs,
+    "containment_pairs_docs": q_containment_pairs_docs,
+    "lsh_bucket_histogram": q_lsh_bucket_histogram,
+    "token_count_docs": q_token_count_docs,
+    "quality_docs": q_quality_docs,
+    "langid_docs": q_langid_docs,
+    "lang_count_docs": q_lang_count_docs,
+    "q1_pricing_summary": q1_pricing_summary,
+    "orders_by_nation": q_orders_by_nation,
+    "top_orders": q_top_orders,
+    "distinct_segments": q_distinct_segments,
+    "filter_agg_events": q_filter_agg_events,
+    "events_by_day": q_events_by_day,
+    "supplier_part_stats": q_supplier_part_stats,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+}
+
+
+def _langid_sql() -> str:
+    def cnt(p: str) -> str:
+        return f"(length(text) - length(replace(text, '{p}', ''))) / {len(p)}"
+
+    c = {
+        lang: " + ".join(cnt(m) for m in ms)
+        for lang, ms in textstats.LANG_MARKERS.items()
+    }
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         {c['en']} AS c_en, {c['de']} AS c_de, {c['fr']} AS c_fr, {c['es']} AS c_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es AND c_en > 0 THEN 'en'
+    WHEN c_de >= c_fr AND c_de >= c_es AND c_de > 0 THEN 'de'
+    WHEN c_fr >= c_es AND c_fr > 0 THEN 'fr'
+    WHEN c_es > 0 THEN 'es'
+    ELSE 'other'
+  END AS predicted
+FROM scored
+"""
+
+
+ORACLE_SQL = {
+    "exact_dedup_docs": """
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "exact_dup_pairs_docs": """
+        SELECT d1.doc_id AS a, d2.doc_id AS b
+        FROM documents d1 JOIN documents d2
+          ON d1.text = d2.text AND d1.doc_id < d2.doc_id
+    """,
+    "token_count_docs": r"""
+        SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+        FROM documents
+    """,
+    "quality_docs": r"""
+        SELECT doc_id,
+               length(text) AS n_chars_calc,
+               length(text) - length(replace(text, ' ', '')) AS n_spaces,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                     / greatest(len(regexp_extract_all(text, '\S+')), 1), 6) AS avg_token_len
+        FROM documents
+    """,
+    "langid_docs": _langid_sql(),
+    "lang_count_docs": """
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+               CAST(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_c,
+               CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+               count(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "orders_by_nation": """
+        SELECT n.n_name AS nation, count(*) AS n_orders,
+               CAST(sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_c
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    "top_orders": """
+        SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c
+        FROM orders ORDER BY price_c DESC, o_orderkey LIMIT 10
+    """,
+    "distinct_segments": """
+        SELECT DISTINCT c_mktsegment FROM customer
+    """,
+    "filter_agg_events": """
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM events WHERE value >= 10 GROUP BY event_type
+    """,
+    "events_by_day": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "supplier_part_stats": """
+        SELECT p_brand, count(*) AS n,
+               CAST(min(p_size) AS BIGINT) AS min_size,
+               CAST(max(p_size) AS BIGINT) AS max_size,
+               CAST(sum(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
+        FROM part GROUP BY p_brand
+    """,
+    "ann_topk": """
+        WITH sims AS (
+          SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS sim
+          FROM embeddings q JOIN embeddings e ON e.vec_id != q.vec_id
+          WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rn
+          FROM sims
+        ) WHERE rn <= 5
+    """,
+    # no oracle (rows-only): near_dup_clusters_docs, near_dup_pairs_docs,
+    # simhash_docs, containment_pairs_docs, lsh_bucket_histogram, ann_topk_lsh
+}

@@ -1,0 +1,168 @@
+"""Distributed connected components over the verified-pair edge set.
+
+The reference's transitive merge is a per-bucket, path-compressing
+union-find whose driver was never wired in
+(/root/reference/pcluster/src/pcluster/union_find.cpp:16-33, stub at
+35-43) and an insertion-order-dependent greedy clustering
+(hclust/src/hclust/hclust2.cpp:102-133).  We replace both with the
+order-independent alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014 — public knowledge), expressed as Ray Data groupby shuffles:
+
+  large-star: each node links its LARGER neighbors to its minimum
+              neighborhood member;
+  small-star: each node links its not-larger neighbors (and itself) to
+              the minimum.
+
+Both halves strictly shrink the potential function and converge in
+O(log n) rounds to a star forest (child -> root) where root = the
+component's minimum file_id — a deterministic cluster label.
+
+Edges are tiny relative to the corpus (dup pairs only), so the
+per-round materialize is cheap; convergence is detected by an
+order-insensitive 64-bit checksum + count of the edge set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from hsearch_ray import hashing as H
+
+I64 = np.int64
+EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def _large_star_group(group: pa.Table) -> pa.Table:
+    u = int(group["u"][0].as_py())
+    nbrs = np.unique(group["v"].to_numpy(zero_copy_only=False))
+    m = min(u, int(nbrs[0]))
+    big = nbrs[nbrs > u]
+    if big.size == 0:
+        return EDGE_SCHEMA.empty_table()
+    return pa.table({"u": pa.array(big, pa.int64()),
+                     "v": pa.array(np.full(big.size, m), pa.int64())})
+
+
+def _small_star_group(group: pa.Table) -> pa.Table:
+    u = int(group["u"][0].as_py())
+    nbrs = np.unique(group["v"].to_numpy(zero_copy_only=False))  # all <= u
+    m = int(nbrs[0])
+    rest = np.unique(np.concatenate([nbrs[nbrs != m], np.array([u], dtype=I64)]))
+    rest = rest[rest != m]
+    if rest.size == 0:
+        return EDGE_SCHEMA.empty_table()
+    return pa.table({"u": pa.array(rest, pa.int64()),
+                     "v": pa.array(np.full(rest.size, m), pa.int64())})
+
+
+def _both_directions(batch: pa.Table) -> pa.Table:
+    u = batch["u"].to_numpy(zero_copy_only=False)
+    v = batch["v"].to_numpy(zero_copy_only=False)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    return pa.table({"u": pa.array(np.concatenate([u, v]), pa.int64()),
+                     "v": pa.array(np.concatenate([v, u]), pa.int64())})
+
+
+def _orient_max_first(batch: pa.Table) -> pa.Table:
+    u = batch["u"].to_numpy(zero_copy_only=False)
+    v = batch["v"].to_numpy(zero_copy_only=False)
+    keep = u != v
+    u, v = u[keep], v[keep]
+    hi, lo = np.maximum(u, v), np.minimum(u, v)
+    return pa.table({"u": pa.array(hi, pa.int64()), "v": pa.array(lo, pa.int64())})
+
+
+def _edge_checksum(edges_ds) -> tuple[int, int]:
+    def _chk(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).view(np.uint64)
+        v = batch["v"].to_numpy(zero_copy_only=False).view(np.uint64)
+        h = H.splitmix64(H.splitmix64(u) ^ v)
+        s = int(h.sum(dtype=np.uint64))
+        return pa.table({"chk": pa.array([s], pa.uint64()), "n": pa.array([len(u)], pa.int64())})
+
+    parts = edges_ds.map_batches(_chk, batch_format="pyarrow").take_all()
+    chk = 0
+    n = 0
+    for r in parts:
+        chk = (chk + int(r["chk"])) & 0xFFFFFFFFFFFFFFFF
+        n += int(r["n"])
+    return chk, n
+
+
+def connected_components(edges_ds, max_iters: int = 64):
+    """(a,b) edge Dataset -> (file_id, cluster_id) root map Dataset.
+
+    cluster_id = min file_id of the component.  Only nodes that appear
+    in an edge are emitted; singletons are their own cluster (the
+    caller attaches cluster_id = file_id for files with no edges).
+    """
+    edges = edges_ds.select_columns(["a", "b"]).rename_columns(["u", "v"]).materialize()
+    prev = None
+    for _ in range(max_iters):
+        # Edge preservation note: for edge (u,v) with u<v, large-star's
+        # group u emits (v, min(N(u) ∪ {u})) — the smaller endpoint keeps
+        # its larger neighbors connected, so no union with the previous
+        # round is needed.  Per-group np.unique dedups neighbor lists;
+        # cross-group duplicate edges are tolerated (collapse next round)
+        # to save a dedup shuffle per iteration.
+        ls = (
+            edges.map_batches(_both_directions, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(_large_star_group, batch_format="pyarrow")
+        )
+        edges = (
+            ls.map_batches(_orient_max_first, batch_format="pyarrow")
+            .groupby("u")
+            .map_groups(_small_star_group, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    def _to_clusters(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        return pa.table({"file_id": pa.array(u, pa.int64()),
+                         "cluster_id": pa.array(v, pa.int64())})
+
+    child_rows = edges.map_batches(_to_clusters, batch_format="pyarrow")
+
+    # roots map to themselves
+    def _roots(batch: pa.Table) -> pa.Table:
+        v = np.unique(batch["cluster_id"].to_numpy(zero_copy_only=False))
+        return pa.table({"file_id": pa.array(v, pa.int64()),
+                         "cluster_id": pa.array(v, pa.int64())})
+
+    root_rows = (
+        child_rows.map_batches(_roots, batch_format="pyarrow")
+        .groupby(["file_id", "cluster_id"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+    return child_rows.union(root_rows)
+
+
+def attach_clusters(corpus_ds, roots_ds):
+    """corpus + root map -> (file_id, cluster_id) for EVERY corpus row;
+    files without edges get cluster_id = file_id.
+
+    The root map is small (dup files only) so it is broadcast once; the
+    Dataset.join alternative is a drop-in when the dup set outgrows
+    broadcast."""
+    rows = roots_ds.take_all()
+    root_map = {int(r["file_id"]): int(r["cluster_id"]) for r in rows}
+    ref = ray.put(root_map)
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        roots = ray.get(ref)
+        fid = batch["file_id"].to_numpy(zero_copy_only=False)
+        cid = np.array([roots.get(int(f), int(f)) for f in fid], dtype=I64)
+        return pa.table({"file_id": pa.array(fid, pa.int64()),
+                         "cluster_id": pa.array(cid, pa.int64())})
+
+    return corpus_ds.map_batches(_attach, batch_format="pyarrow")

@@ -1,0 +1,64 @@
+"""Distributed connected components: correctness vs a trivial union-find,
+order independence, star-forest convergence."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from hsearch_ray.reference_impl import UnionFind
+
+
+def _cc_via_ray(edges, ray_session=None):
+    import ray.data
+
+    from hsearch_ray.stages.unionfind import connected_components
+
+    tbl = pa.table(
+        {"a": pa.array([e[0] for e in edges], pa.int64()),
+         "b": pa.array([e[1] for e in edges], pa.int64())}
+    )
+    roots = connected_components(ray.data.from_arrow(tbl))
+    out = {}
+    for r in roots.take_all():
+        out[int(r["file_id"])] = int(r["cluster_id"])
+    return out
+
+
+def _cc_expected(edges):
+    uf = UnionFind()
+    nodes = set()
+    for a, b in edges:
+        uf.union(a, b)
+        nodes.update((a, b))
+    return {n: uf.find(n) for n in nodes}
+
+
+CASES = [
+    [(1, 2)],
+    [(1, 2), (2, 3), (3, 4)],                      # chain
+    [(10, 1), (10, 2), (10, 3)],                   # star with large hub
+    [(1, 2), (3, 4), (5, 6), (2, 3)],              # merge two comps
+    [(i, i + 1) for i in range(1, 40)],            # long chain (log rounds)
+    [(100, 7), (7, 55), (55, 100), (200, 201)],    # cycle + separate
+]
+
+
+@pytest.mark.parametrize("edges", CASES)
+def test_cc_matches_unionfind(ray_session, edges):
+    got = _cc_via_ray(edges)
+    want = _cc_expected(edges)
+    assert got == want
+
+
+def test_cc_order_independence(ray_session):
+    rng = np.random.Generator(np.random.PCG64(3))
+    edges = [(int(a), int(b)) for a, b in rng.integers(1, 60, size=(80, 2)) if a != b]
+    fwd = _cc_via_ray(edges)
+    rev = _cc_via_ray(list(reversed([(b, a) for a, b in edges])))
+    assert fwd == rev
+    assert fwd == _cc_expected(edges)
+
+
+def test_cc_empty(ray_session):
+    got = _cc_via_ray([])
+    assert got == {}
