@@ -17,7 +17,11 @@ class PipelineConfig:
     # --- shingling (analog of k-mer window, kmer_search.cpp:68-81) ---
     shingle_k: int = 9          # k-char (byte) shingle window
     # --- MinHash signature (analog of the 8k-dim embedding, hclust.cpp:71-85) ---
-    num_perms: int = 128        # permutations = signature width
+    num_perms: int = 128        # signature width (bins for oph, perms for perms)
+    # "oph": one-permutation hashing + densification — O(width·log n)/doc,
+    #        the memory-bandwidth-friendly scheme (default).
+    # "perms": classic independent multiply-shift permutations — O(width·n)/doc.
+    minhash_scheme: str = "oph"
     # --- LSH banding (analog of K bits x L tables, lsh.hpp:51-59) ---
     num_bands: int = 16         # L tables
     rows_per_band: int = 8      # K concatenated hashes per table (16*8=128)
@@ -47,8 +51,8 @@ class PipelineConfig:
     verify_batch_size: int = 4096   # candidate pairs per Verifier batch
     # actor-pool sizing: min=1 so small clusters (tests at num_cpus=4) never
     # deadlock on pool preallocation; max bounds come from the session size
-    sign_concurrency: tuple[int, int] = (1, 8)   # Signer actor pool min/max
-    verify_concurrency: tuple[int, int] = (1, 8)
+    sign_concurrency: tuple[int, int] = (1, 32)  # Signer actor pool min/max
+    verify_concurrency: tuple[int, int] = (1, 32)
     # --- filters (M10 analog: min-length filter, pcluster.cpp:23-25) ---
     min_content_len: int = 1       # drop empty files from similarity (kept in exact dedup)
     max_content_len: int = 8 << 20  # drop pathological rows from the similarity path

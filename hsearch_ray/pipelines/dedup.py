@@ -60,12 +60,37 @@ def dedup_pipeline(
 
     fingerprint = f"seed={cfg.seed},k={cfg.shingle_k},perms={cfg.num_perms},bands={cfg.num_bands},thr={cfg.jaccard_threshold}"
 
+    # Parallelism floor: a single-block input (from_arrow, one parquet
+    # file with one row group) would serialize every downstream stage to
+    # one task.  Split to ~2 blocks per CPU so actor pools actually fill;
+    # repartition without shuffle just splits/coalesces block boundaries.
+    import ray as _ray
+
+    target_blocks = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+    try:
+        known_blocks = corpus_ds.num_blocks()  # only known when materialized
+    except NotImplementedError:
+        known_blocks = None
+    if known_blocks is not None and known_blocks < target_blocks:
+        corpus_ds = corpus_ds.repartition(target_blocks)
+
     # normalize once and pin: every downstream consumer (dedup stats, tag,
     # kept, verification content fetch, cluster attach) reads the pinned
     # blocks instead of re-running sha256 over the corpus.  At design
     # scale this boundary is the first parquet checkpoint.
+    stage_t: dict[str, float] = {}
+    _last = time.perf_counter()
+
+    def _mark(name: str) -> None:
+        nonlocal _last
+        now = time.perf_counter()
+        stage_t[name] = round(now - _last, 3)
+        _last = now
+
     norm = normalize(corpus_ds).materialize()
+    _mark("normalize")
     tagged, kept, exact_edges = exact_dedup(norm)
+    _mark("exact_dedup")
 
     if checkpoint_dir:
         stage_dir = f"{checkpoint_dir}/tagged"
@@ -85,6 +110,7 @@ def dedup_pipeline(
     banded = band_explode(sigs, cfg)
     cand, lsh_metrics = candidate_pairs(banded, cfg)
     metrics.update(lsh_metrics)
+    _mark("sign_band_candidates")
 
     verified = verify_pairs(cand, kept, cfg)
     if checkpoint_dir:
@@ -98,10 +124,14 @@ def dedup_pipeline(
             )
     else:
         verified = verified.materialize()
+    _mark("verify")
 
     edges = verified.select_columns(["a", "b"]).union(exact_edges)
     roots = connected_components(edges)
+    _mark("connected_components")
     clusters = attach_clusters(tagged.select_columns(["file_id"]), roots)
 
+    _mark("attach")
+    metrics["stage_sec"] = stage_t
     metrics["elapsed_sec"] = round(time.perf_counter() - t0, 3)
     return DedupResult(clusters=clusters, pairs=verified, kept=kept, metrics=metrics)

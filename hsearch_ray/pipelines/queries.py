@@ -136,7 +136,7 @@ def q_simhash_docs(sf_dir: str):
     from hsearch_ray.stages.signatures import sign
 
     cfg = PipelineConfig()
-    sigs = sign(normalize(_docs_as_corpus(sf_dir)), cfg)
+    sigs = sign(normalize(_docs_as_corpus(sf_dir)), cfg, with_simhash=True)
     return sigs.select_columns(["file_id", "simhash"]).rename_columns(["doc_id", "simhash"])
 
 
@@ -338,6 +338,102 @@ def q_supplier_part_stats(sf_dir: str):
     )
 
 
+def q_explode_lines_docs(sf_dir: str):
+    """1->N row explosion (M8 flat_map analog): one row per line of text."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_d, out_n, out_l = [], [], []
+        for d, t in zip(doc, texts):
+            lines = t.split("\n")
+            out_d.extend([int(d)] * len(lines))
+            out_n.extend(range(1, len(lines) + 1))
+            out_l.extend(lines)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "line_no": pa.array(out_n, pa.int64()),
+                "line": pa.array(out_l, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+
+
+def q_user_first_event(sf_dir: str):
+    """Best-match semi-join analog (J4): per user, earliest event ts + count."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"user_id": df["user_id"],
+             "ts_s": df["ts"].astype("datetime64[us]").astype("int64") // 1_000_000}
+        )
+
+    out = grouped_agg(
+        ds.map_batches(prep, batch_format="pandas"), ["user_id"],
+        {"ts_s": ["min"]}, count_alias="n_events",
+    )
+    return pd.DataFrame(
+        {"user_id": out["user_id"].astype("int64"),
+         "first_ts_s": out["ts_s__min"].astype("int64"),
+         "n_events": out["n_events"].astype("int64")}
+    )
+
+
+def q_corpus_stats_docs(sf_dir: str):
+    """Corpus stats (A10): count + total/max/min content length."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["g"] = 0
+        return df
+
+    out = grouped_agg(
+        ds.map_batches(prep, batch_format="pandas"), ["g"],
+        {"n_chars": ["sum", "min", "max"]}, count_alias="n_docs",
+    )
+    return pd.DataFrame(
+        {
+            "n_docs": out["n_docs"].astype("int64"),
+            "total_chars": out["n_chars__sum"].astype("int64"),
+            "min_chars": out["n_chars__min"].astype("int64"),
+            "max_chars": out["n_chars__max"].astype("int64"),
+        }
+    )
+
+
+def q_median_event_value(sf_dir: str):
+    """Exact median (A6 analog).  The value column is projected (narrow)
+    and reduced on the driver — a scalar aggregate; the design-scale path
+    is a distributed quantile sketch (KLL) merged the same way."""
+    ds = _read(sf_dir, "events", columns=["value"])
+    vals = ds.to_pandas()["value"].to_numpy(dtype=np.float64)
+    return pd.DataFrame({"median_value": [round(float(np.median(vals)), 6)]})
+
+
+def q_cluster_stats_docs(sf_dir: str):
+    """Per-cluster stats over the near-dup clustering (A2/S9 analog):
+    cluster size distribution."""
+    from hsearch_ray.pipelines.dedup import dedup_pipeline
+
+    res = dedup_pipeline(_docs_as_corpus(sf_dir), PipelineConfig())
+    cl = grouped_agg(res.clusters, ["cluster_id"], {"file_id": ["min"]},
+                     count_alias="size")
+    hist = cl.groupby("size", as_index=False).agg(n_clusters=("size", "size"))
+    return hist.astype("int64")
+
+
+def q_sample_events(sf_dir: str):
+    """Seeded random sample (O6/O8 analog) — rows-only check (the sample
+    itself is engine-specific; the driver validates row count)."""
+    ds = _read(sf_dir, "events", columns=["event_id"])
+    return ds.random_shuffle(seed=42).limit(100)
+
+
 # ---------------------------------------------------------------- similarity search
 
 
@@ -394,6 +490,12 @@ QUERIES = {
     "supplier_part_stats": q_supplier_part_stats,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "explode_lines_docs": q_explode_lines_docs,
+    "user_first_event": q_user_first_event,
+    "corpus_stats_docs": q_corpus_stats_docs,
+    "median_event_value": q_median_event_value,
+    "cluster_stats_docs": q_cluster_stats_docs,
+    "sample_events": q_sample_events,
 }
 
 
@@ -504,6 +606,29 @@ ORACLE_SQL = {
           FROM sims
         ) WHERE rn <= 5
     """,
+    "explode_lines_docs": r"""
+        SELECT doc_id,
+               generate_subscripts(string_split(text, chr(10)), 1) AS line_no,
+               unnest(string_split(text, chr(10))) AS line
+        FROM documents
+    """,
+    "user_first_event": """
+        SELECT user_id,
+               CAST(min(epoch_us(ts)) // 1000000 AS BIGINT) AS first_ts_s,
+               count(*) AS n_events
+        FROM events GROUP BY user_id
+    """,
+    "corpus_stats_docs": """
+        SELECT count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+    """,
+    "median_event_value": """
+        SELECT round(median(value), 6) AS median_value FROM events
+    """,
     # no oracle (rows-only): near_dup_clusters_docs, near_dup_pairs_docs,
-    # simhash_docs, containment_pairs_docs, lsh_bucket_histogram, ann_topk_lsh
+    # simhash_docs, containment_pairs_docs, lsh_bucket_histogram,
+    # ann_topk_lsh, cluster_stats_docs, sample_events
 }

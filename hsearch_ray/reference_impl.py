@@ -92,8 +92,13 @@ def run_reference(
             exact_pairs.append((a, b))
             uf.union(a, b)
 
-    # signatures over unique contents (normalized for similarity space)
-    a_p, b_p = H.perm_params(cfg.seed, cfg.num_perms)
+    # signatures over unique contents (normalized for similarity space);
+    # scheme dispatch shared with the distributed Signer => bit-identical
+    a_p, b_p = (
+        H.perm_params(cfg.seed, cfg.num_perms)
+        if cfg.minhash_scheme == "perms"
+        else (None, None)
+    )
     shingle_sets: dict[int, np.ndarray] = {}
     sigs: dict[int, np.ndarray] = {}
     for i in rep_rows:
@@ -104,7 +109,11 @@ def run_reference(
         sh = H.shingle_hashes(norm, cfg.shingle_k)
         fid = int(fids[i])
         shingle_sets[fid] = sh
-        sigs[fid] = H.minhash_signature(sh, a_p, b_p)
+        sigs[fid] = (
+            H.minhash_oph(sh, cfg.num_perms, cfg.seed)
+            if cfg.minhash_scheme == "oph"
+            else H.minhash_signature(sh, a_p, b_p)
+        )
 
     # LSH banding -> buckets -> all-pairs candidates (oracle is exhaustive
     # within buckets; the distributed path may cap hot buckets)

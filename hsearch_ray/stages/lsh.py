@@ -18,8 +18,6 @@ loop goes quadratic on hot buckets):
   * Singleton buckets (the vast majority) are filtered OUT with a
     broadcast key-set semi-join before the pair-emission groupby, so
     the sort shuffle only moves rows that can actually produce a pair.
-  * Buckets with 2..cap members shuffle through groupby.map_groups and
-    emit ALL pairs (matches the oracle exactly).
   * Hot buckets (> cap) NEVER gather on one worker: members emit
     hub-star edges (bucket_min, member) inside a stateless map_batches
     against a tiny broadcast {hot_key: min_fid} map — O(n) edges, no
@@ -39,7 +37,7 @@ import ray
 
 from hsearch_ray import hashing as H
 from hsearch_ray.config import PipelineConfig
-from hsearch_ray.stages.agg import distinct_rows, grouped_agg
+from hsearch_ray.stages.agg import grouped_agg
 from hsearch_ray.stages.signatures import minhash_matrix
 
 I64 = np.int64
@@ -87,112 +85,228 @@ def _packed_keys(band: np.ndarray, bh: np.ndarray) -> np.ndarray:
     return H.splitmix64(band.astype(np.uint64) * np.uint64(0x9E37)) ^ bh.view(np.uint64)
 
 
-def _emit_all_pairs(group: pa.Table) -> pa.Table:
-    fids = np.unique(group["file_id"].to_numpy(zero_copy_only=False))
-    n = fids.size
-    if n < 2:
-        return PAIR_SCHEMA.empty_table()
-    ii, jj = np.triu_indices(n, k=1)
-    return pa.table({"a": pa.array(fids[ii], pa.int64()), "b": pa.array(fids[jj], pa.int64())})
+def _pairs_within_runs(keys: np.ndarray, fids: np.ndarray, cap: int):
+    """All-pairs within equal-key runs of a KEY-SORTED array, fully
+    vectorized: one offset-d pass per distance (runs are <= cap long, and
+    mostly length 2-3, so passes terminate fast).  This is the J5 analog
+    (sorted-run pairing, gen_kmers_from_suffix_array.cpp:51-65) applied
+    to LSH buckets."""
+    out_a, out_b = [], []
+    n = keys.size
+    for d in range(1, min(cap, n)):
+        same = keys[:-d] == keys[d:]
+        if not same.any():
+            break
+        x, y = fids[:-d][same], fids[d:][same]
+        out_a.append(np.minimum(x, y))
+        out_b.append(np.maximum(x, y))
+    if not out_a:
+        return np.empty(0, dtype=I64), np.empty(0, dtype=I64)
+    return np.concatenate(out_a), np.concatenate(out_b)
 
 
-def _hot_star_batch(batch: pa.Table, hot_ref) -> pa.Table:
-    """Hub-star edges for hot buckets.  Stateless task; the hot map is a
-    tiny ray.put object — ray.get here is a local object-store lookup."""
-    hot: dict[tuple[int, int], int] = ray.get(hot_ref)
-    band = batch["band"].to_numpy(zero_copy_only=False)
-    bh = batch["band_hash"].to_numpy(zero_copy_only=False)
-    fid = batch["file_id"].to_numpy(zero_copy_only=False)
-    a_out, b_out = [], []
-    for i in range(len(fid)):
-        hub = hot.get((int(band[i]), int(bh[i])))
-        if hub is not None and hub != int(fid[i]):
-            a_out.append(hub)
-            b_out.append(int(fid[i]))
-    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())})
+def _dedup_sorted_pair_block(batch: pa.Table) -> pa.Table:
+    """Within-block pair dedup for a (a,b)-sorted block; rows matching the
+    block's first/last pair spill (kind=1) for one tiny cross-block pass."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("kind", pa.int8())]
+        ).empty_table()
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    same_prev = np.zeros(n, dtype=bool)
+    same_prev[1:] = (a[1:] == a[:-1]) & (b[1:] == b[:-1])
+    keep = ~same_prev
+    edge = ((a == a[0]) & (b == b[0])) | ((a == a[-1]) & (b == b[-1]))
+    interior = keep & ~edge
+    spill = keep & edge  # one representative per edge pair value
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate([a[interior], a[spill]]), pa.int64()),
+            "b": pa.array(np.concatenate([b[interior], b[spill]]), pa.int64()),
+            "kind": pa.array(
+                np.concatenate(
+                    [np.zeros(int(interior.sum()), np.int8),
+                     np.ones(int(spill.sum()), np.int8)]
+                ),
+                pa.int8(),
+            ),
+        }
+    )
 
 
-def _key_filter(keys_ref):
-    def fn(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        band = batch["band"].to_numpy(zero_copy_only=False)
-        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
-        mask = np.isin(_packed_keys(band, bh), keys)
-        return batch.filter(pa.array(mask))
+def distinct_pairs(pairs_ds):
+    """Distributed distinct over (a,b): sort + per-block vectorized run
+    dedup; only block-edge pair values (2 per block) take a driver pass.
+    Returns (Dataset, n_distinct)."""
+    emitted = (
+        pairs_ds.sort(["a", "b"])
+        .map_batches(_dedup_sorted_pair_block, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = emitted.filter(expr="kind == 0").select_columns(["a", "b"])
+    spill = emitted.filter(expr="kind == 1").select_columns(["a", "b"]).to_pandas()
+    n = emitted.count() - len(spill)  # metadata count; no extra execution
+    if len(spill):
+        spill = spill.drop_duplicates()
+        interior = interior.union(
+            ray.data.from_arrow(
+                pa.table({"a": pa.array(spill["a"].to_numpy(dtype=I64), pa.int64()),
+                          "b": pa.array(spill["b"].to_numpy(dtype=I64), pa.int64())})
+            )
+        )
+        n += len(spill)
+    return interior, n
 
-    return fn
+
+def _emit_bucket_runs(batch: pa.Table, cap: int) -> pa.Table:
+    """Process one (gkey)-sorted block in a single vectorized pass:
+
+      * interior runs of size 2..cap -> ALL pairs (offset-distance trick)
+      * interior runs of size > cap  -> hub-star edges (run-min as hub),
+        O(n) instead of O(n^2) — the skew path; truncation is flagged
+      * boundary runs (touching block edges; may continue next door)
+        -> spill postings (kind=1) for one tiny driver pass
+      * per-block bucket-size histogram rows (kind=2: a=run_len, b=count)
+
+    This is the reference's suffix-run processing
+    (gen_kmers_from_suffix_array.cpp:51-65) fused with its LSH bucket
+    loop (pcluster.cpp:157-170) into one sorted scan.
+    """
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("kind", pa.int8())])
+    n = batch.num_rows
+    if n == 0:
+        return schema.empty_table()
+    k = batch["gkey"].to_numpy(zero_copy_only=False)
+    f = batch["file_id"].to_numpy(zero_copy_only=False)
+    boundary = (k == k[0]) | (k == k[-1])
+    ki, fi = k[~boundary], f[~boundary]
+    out_a, out_b, out_kind = [], [], []
+    if ki.size:
+        # run segmentation
+        starts = np.nonzero(np.concatenate(([True], ki[1:] != ki[:-1])))[0]
+        lens = np.diff(np.append(starts, ki.size))
+        run_id = np.repeat(np.arange(starts.size), lens)
+        row_len = lens[run_id]
+        # histogram rows (metrics)
+        hl, hc = np.unique(lens, return_counts=True)
+        out_a.append(hl.astype(I64))
+        out_b.append(hc.astype(I64))
+        out_kind.append(np.full(hl.size, 2, np.int8))
+        # cold runs: all pairs
+        cold_mask = (row_len >= 2) & (row_len <= cap)
+        if cold_mask.any():
+            pa_, pb_ = _pairs_within_runs(ki[cold_mask], fi[cold_mask], cap)
+            out_a.append(pa_)
+            out_b.append(pb_)
+            out_kind.append(np.zeros(pa_.size, np.int8))
+        # hot runs: hub-star to run minimum
+        hot_mask = row_len > cap
+        if hot_mask.any():
+            kh, fh = ki[hot_mask], fi[hot_mask]
+            hstarts = np.nonzero(np.concatenate(([True], kh[1:] != kh[:-1])))[0]
+            hmins = np.minimum.reduceat(fh, hstarts)
+            hlens = np.diff(np.append(hstarts, kh.size))
+            hubs = np.repeat(hmins, hlens)
+            keep = fh != hubs
+            out_a.append(np.minimum(hubs[keep], fh[keep]))
+            out_b.append(np.maximum(hubs[keep], fh[keep]))
+            out_kind.append(np.zeros(int(keep.sum()), np.int8))
+    sb, fb = k[boundary], f[boundary]
+    out_a.append(sb)
+    out_b.append(fb)
+    out_kind.append(np.ones(sb.size, np.int8))
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate(out_a).astype(I64), pa.int64()),
+            "b": pa.array(np.concatenate(out_b).astype(I64), pa.int64()),
+            "kind": pa.array(np.concatenate(out_kind), pa.int8()),
+        }
+    )
 
 
 def candidate_pairs(banded_ds, cfg: PipelineConfig):
     """banded rows -> distinct candidate pair Dataset (a < b) + metrics.
 
-    The broadcast key sets (pairable buckets; hot buckets) are small by
-    construction: pairable keys scale with the number of *duplicate*
-    files, hot keys with the heavy-hitter tail.  At 10^12-file scale the
-    pairable-key semi-join becomes a Bloom filter with identical
-    semantics (false positives only cost a wasted groupby row).
+    ONE distributed sort by the packed bucket key feeds a single
+    vectorized scan that counts buckets, emits all-pairs for small
+    buckets, hub-stars hot buckets (skew never gathers on one worker),
+    and spills only block-boundary runs to a tiny driver pass.  A second
+    narrow sort dedups pairs across bands (D5).
     """
-    # banded is consumed by three plans (stats, cold pairs, hot pairs):
-    # pin it once so the Signer/explode lineage runs exactly once.  At
-    # design scale this boundary is a parquet checkpoint (state.lineage).
-    banded_ds = banded_ds.materialize()
-    stats = bucket_stats(banded_ds)
-    members = stats["members"].to_numpy()
     cap = cfg.max_bucket_pairs_exhaustive
-    hot_df = stats[members > cap]
-    cold_df = stats[(members >= 2) & (members <= cap)]
+
+    def _to_gkey(batch: pa.Table) -> pa.Table:
+        band = batch["band"].to_numpy(zero_copy_only=False)
+        bh = batch["band_hash"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gkey": pa.array(_packed_keys(band, bh).view(I64), pa.int64()),
+                "file_id": batch["file_id"].cast(pa.int64()),
+            }
+        )
+
+    emitted = (
+        banded_ds.map_batches(_to_gkey, batch_format="pyarrow")
+        .sort("gkey")
+        .map_batches(_emit_bucket_runs, fn_kwargs={"cap": cap},
+                     batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+    pair_ds = emitted.filter(expr="kind == 0").select_columns(["a", "b"])
+
+    # driver pass over spill postings (block-edge runs only: <= 2 bucket
+    # values per block) — same run logic, single-threaded on a tiny input
+    small = emitted.filter(expr="kind != 0").select_columns(["a", "b", "kind"]).to_pandas()
+    hist = small[small["kind"] == 2]
+    spill = small[small["kind"] == 1]
+    histogram: dict[int, int] = {}
+    for ln, ct in zip(hist["a"], hist["b"]):
+        histogram[int(ln)] = histogram.get(int(ln), 0) + int(ct)
+    extra = None
+    if len(spill):
+        sk = spill["a"].to_numpy(dtype=np.int64)
+        sf = spill["b"].to_numpy(dtype=np.int64)
+        order = np.lexsort((sf, sk))
+        sk, sf = sk[order], sf[order]
+        starts = np.nonzero(np.concatenate(([True], sk[1:] != sk[:-1])))[0]
+        lens = np.diff(np.append(starts, sk.size))
+        for ln in np.unique(lens):
+            histogram[int(ln)] = histogram.get(int(ln), 0) + int((lens == ln).sum())
+        row_len = lens[np.repeat(np.arange(starts.size), lens)]
+        cold_mask = (row_len >= 2) & (row_len <= cap)
+        pa_, pb_ = _pairs_within_runs(sk[cold_mask], sf[cold_mask], cap)
+        hot_mask = row_len > cap
+        if hot_mask.any():
+            kh, fh = sk[hot_mask], sf[hot_mask]
+            hstarts = np.nonzero(np.concatenate(([True], kh[1:] != kh[:-1])))[0]
+            hmins = np.minimum.reduceat(fh, hstarts)
+            hlens = np.diff(np.append(hstarts, kh.size))
+            hubs = np.repeat(hmins, hlens)
+            keep = fh != hubs
+            pa_ = np.concatenate([pa_, np.minimum(hubs[keep], fh[keep])])
+            pb_ = np.concatenate([pb_, np.maximum(hubs[keep], fh[keep])])
+        if pa_.size:
+            extra = pa.table({"a": pa.array(pa_, pa.int64()),
+                              "b": pa.array(pb_, pa.int64())})
+
+    if extra is not None:
+        pair_ds = pair_ds.union(ray.data.from_arrow(extra))
+
+    hot_sizes = [ln for ln in histogram if ln > cap]
     metrics = {
-        "buckets_total": int(len(stats)),
-        "buckets_pairable": int(len(cold_df)) + int(len(hot_df)),
-        "buckets_hot": int(len(hot_df)),
-        "hot_members_max": int(members.max()) if len(hot_df) else 0,
-        "hot_pairs_truncated": True if len(hot_df) else False,
+        "buckets_total": int(sum(histogram.values())),
+        "buckets_pairable": int(sum(c for ln, c in histogram.items() if ln >= 2)),
+        "buckets_hot": int(sum(histogram[ln] for ln in hot_sizes)),
+        "hot_members_max": int(max(hot_sizes)) if hot_sizes else 0,
+        "hot_pairs_truncated": bool(hot_sizes),
+        "bucket_histogram_top": dict(sorted(histogram.items())[-8:]),
     }
 
-    pair_parts = []
-    if len(cold_df):
-        cold_keys = np.sort(
-            _packed_keys(cold_df["band"].to_numpy(), cold_df["band_hash"].to_numpy())
-        )
-        cold = banded_ds.map_batches(
-            _key_filter(ray.put(cold_keys)), batch_format="pyarrow"
-        )
-        pair_parts.append(
-            cold.groupby(["band", "band_hash"]).map_groups(
-                _emit_all_pairs, batch_format="pyarrow"
-            )
-        )
-    if len(hot_df):
-        hot_map = {
-            (int(b), int(h)): int(m)
-            for b, h, m in zip(
-                hot_df["band"], hot_df["band_hash"], hot_df["file_id__min"]
-            )
-        }
-        hot_keys = np.sort(
-            _packed_keys(hot_df["band"].to_numpy(), hot_df["band_hash"].to_numpy())
-        )
-        hot = banded_ds.map_batches(
-            _key_filter(ray.put(hot_keys)), batch_format="pyarrow"
-        )
-        pair_parts.append(
-            hot.map_batches(
-                _hot_star_batch, fn_kwargs={"hot_ref": ray.put(hot_map)},
-                batch_format="pyarrow",
-            )
-        )
-
-    if not pair_parts:
-        return ray.data.from_arrow(PAIR_SCHEMA.empty_table()), metrics
-
-    pairs = pair_parts[0] if len(pair_parts) == 1 else pair_parts[0].union(pair_parts[1])
-
     # distinct across bands (D5 analog — the critical cost lever before
-    # exact verification, motif_both_points.cpp:222-243 label[] dedup)
-    uniq = distinct_rows(pairs, ["a", "b"])
-    metrics["candidate_pairs"] = int(len(uniq))
-    if uniq.empty:
-        return ray.data.from_arrow(PAIR_SCHEMA.empty_table()), metrics
-    tbl = pa.table({"a": pa.array(uniq["a"].to_numpy(dtype=np.int64), pa.int64()),
-                    "b": pa.array(uniq["b"].to_numpy(dtype=np.int64), pa.int64())})
-    return ray.data.from_arrow(tbl), metrics
+    # exact verification, motif_both_points.cpp:222-243 label[] dedup);
+    # distributed sort-based dedup, no driver funnel
+    uniq, n_uniq = distinct_pairs(pair_ds)
+    metrics["candidate_pairs"] = int(n_uniq)
+    return uniq, metrics

@@ -19,6 +19,8 @@ Output schema (narrow; content does NOT flow past this stage):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 
@@ -29,29 +31,51 @@ I64 = np.int64
 
 
 class Signer:
-    def __init__(self, cfg: PipelineConfig, with_fingerprints: bool = False):
+    def __init__(self, cfg: PipelineConfig, with_fingerprints: bool = False,
+                 with_simhash: bool = False):
         self.cfg = cfg
         self.with_fps = with_fingerprints
-        self.a, self.b = H.perm_params(cfg.seed, cfg.num_perms)
+        self.with_simhash = with_simhash
+        if cfg.minhash_scheme == "perms":
+            self.a, self.b = H.perm_params(cfg.seed, cfg.num_perms)
+        else:
+            self.a = self.b = None
+
+    def _signature(self, uniq: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.minhash_scheme == "oph":
+            return H.minhash_oph(uniq, cfg.num_perms, cfg.seed)
+        return H.minhash_signature(uniq, self.a, self.b)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         fids = batch["file_id"].to_numpy(zero_copy_only=False)
         contents = batch["content"].cast(pa.large_binary()).to_pylist()
         n = len(contents)
-        sigs = np.empty((n, cfg.num_perms), dtype=np.uint64)
-        simh = np.empty(n, dtype=np.uint64)
+        sigs = np.full((n, cfg.num_perms), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        simh = np.zeros(n, dtype=np.uint64)
         nsh = np.empty(n, dtype=I64)
         fps: list[np.ndarray] = []
+        uniqs: list[np.ndarray] = []
+        nonempty: list[int] = []
         for i, raw in enumerate(contents):
             norm = H.normalize_for_shingles(raw)
             stream = H.shingle_stream(norm, cfg.shingle_k)
             uniq = np.unique(stream)
             nsh[i] = uniq.size
-            sigs[i] = H.minhash_signature(uniq, self.a, self.b)
-            simh[i] = H.simhash64(uniq)
+            if uniq.size:
+                nonempty.append(i)
+                uniqs.append(uniq)
+                sigs[i] = self._signature(uniq)
             if self.with_fps:
                 fps.append(H.winnow_fingerprints(stream, cfg.winnow_window).view(I64))
+        if self.with_simhash and nonempty:
+            # simhash is O(64·n) memory traffic — computed only when a
+            # consumer asks (the dedup path doesn't need it)
+            allsh = np.concatenate(uniqs)
+            offsets = np.cumsum([0] + [u.size for u in uniqs[:-1]], dtype=np.int64)
+            idx = np.array(nonempty, dtype=np.int64)
+            simh[idx] = H.batch_simhash(allsh, offsets)
         cols = {
             "file_id": pa.array(fids, pa.int64()),
             "nshingles": pa.array(nsh, pa.int64()),
@@ -65,15 +89,49 @@ class Signer:
         return pa.table(cols)
 
 
-def sign(ds, cfg: PipelineConfig, with_fingerprints: bool = False):
-    """kept-corpus Dataset -> signatures Dataset (actor pool)."""
+def pool_size(frac: float = 0.75) -> int:
+    """Fixed actor-pool size ~frac of session CPUs (for stages that do
+    need actor state, e.g. model inference)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(1, int(cpus * frac))
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_signer(seed: int, num_perms: int, shingle_k: int, winnow: int,
+                   scheme: str, with_fps: bool, with_simhash: bool) -> "Signer":
+    from hsearch_ray.config import PipelineConfig as _PC
+
+    cfg = _PC(seed=seed, num_perms=num_perms, shingle_k=shingle_k,
+              winnow_window=winnow, minhash_scheme=scheme)
+    return Signer(cfg, with_fps, with_simhash)
+
+
+def _sign_task(batch: pa.Table, seed: int, num_perms: int, shingle_k: int,
+               winnow: int, scheme: str, with_fps: bool, with_simhash: bool) -> pa.Table:
+    return _cached_signer(seed, num_perms, shingle_k, winnow, scheme,
+                          with_fps, with_simhash)(batch)
+
+
+def sign(ds, cfg: PipelineConfig, with_fingerprints: bool = False,
+         with_simhash: bool = False):
+    """kept-corpus Dataset -> signatures Dataset.
+
+    Runs as STATELESS TASKS on Ray's warm worker pool, not an actor
+    pool: the only per-worker state (the seeded permutation family,
+    SURVEY.md §2.3 T1) regenerates in milliseconds and is cached
+    per-process via lru_cache, so tasks get actor-grade state reuse
+    without paying actor-pool spawn (fresh processes + cold imports)
+    every pipeline execution."""
     return ds.map_batches(
-        Signer,
-        fn_constructor_args=(cfg, with_fingerprints),
+        _sign_task,
+        fn_kwargs=dict(seed=cfg.seed, num_perms=cfg.num_perms,
+                       shingle_k=cfg.shingle_k, winnow=cfg.winnow_window,
+                       scheme=cfg.minhash_scheme,
+                       with_fps=with_fingerprints, with_simhash=with_simhash),
         batch_format="pyarrow",
         batch_size=cfg.sign_batch_size,
-        concurrency=cfg.sign_concurrency,
-        num_cpus=1,
     )
 
 

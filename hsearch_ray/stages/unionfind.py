@@ -93,14 +93,48 @@ def _edge_checksum(edges_ds) -> tuple[int, int]:
     return chk, n
 
 
-def connected_components(edges_ds, max_iters: int = 64):
+def connected_components(edges_ds, max_iters: int = 64,
+                         driver_threshold: int = 2_000_000):
     """(a,b) edge Dataset -> (file_id, cluster_id) root map Dataset.
 
     cluster_id = min file_id of the component.  Only nodes that appear
     in an edge are emitted; singletons are their own cluster (the
     caller attaches cluster_id = file_id for files with no edges).
+
+    Hybrid execution: the verified edge set is orders of magnitude
+    smaller than the corpus (dup pairs only).  Below
+    ``driver_threshold`` edges, a single-process path-compressing
+    union-find is exact and ~instant; above it, the distributed
+    star-contraction loop below takes over (same result, proven
+    order-independent by tests at low thresholds).
     """
-    edges = edges_ds.select_columns(["a", "b"]).rename_columns(["u", "v"]).materialize()
+    def _project_uv(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": batch["a"].cast(pa.int64()),
+                         "v": batch["b"].cast(pa.int64())})
+
+    edges = edges_ds.map_batches(_project_uv, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        from hsearch_ray.reference_impl import UnionFind
+
+        uf = UnionFind()
+        nodes: set[int] = set()
+        for batch in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            for i in range(len(u)):
+                a, b = int(u[i]), int(v[i])
+                uf.union(a, b)
+                nodes.add(a)
+                nodes.add(b)
+        ids = sorted(nodes)
+        roots = pa.table(
+            {
+                "file_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array([uf.find(i) for i in ids], pa.int64()),
+            }
+        )
+        return ray.data.from_arrow(roots)
     prev = None
     for _ in range(max_iters):
         # Edge preservation note: for edge (u,v) with u<v, large-star's

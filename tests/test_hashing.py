@@ -39,6 +39,29 @@ def test_minhash_jaccard_estimate():
     assert abs(est - true_j) < 0.15
 
 
+def test_oph_jaccard_estimate():
+    rng = np.random.Generator(np.random.PCG64(3))
+    base = rng.integers(0, 1 << 63, size=3000, dtype=np.uint64)
+    x = np.unique(base)
+    y = np.unique(np.concatenate([base[:2400], rng.integers(0, 1 << 63, 600, dtype=np.uint64)]))
+    true_j = H.exact_jaccard(x, y)
+    sx = H.minhash_oph(x, 128, seed=42)
+    sy = H.minhash_oph(y, 128, seed=42)
+    est = (sx == sy).mean()
+    assert abs(est - true_j) < 0.15
+
+
+def test_oph_determinism_and_edges():
+    x = np.unique(np.random.Generator(np.random.PCG64(1)).integers(0, 1 << 63, 40, dtype=np.uint64))
+    a = H.minhash_oph(x, 128, seed=42)  # 40 shingles -> many empty bins
+    b = H.minhash_oph(x, 128, seed=42)
+    assert np.array_equal(a, b)
+    assert a.dtype == np.uint64
+    assert np.all(H.minhash_oph(np.empty(0, np.uint64), 128, 42) == np.uint64(0xFFFFFFFFFFFFFFFF))
+    with pytest.raises(ValueError):
+        H.minhash_oph(x, 100, seed=42)
+
+
 def test_minhash_empty_sentinel():
     a, b = H.perm_params(42, 128)
     sig = H.minhash_signature(np.empty(0, dtype=np.uint64), a, b)

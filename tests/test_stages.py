@@ -1,0 +1,142 @@
+"""Stage-level tests: textstats, ANN, containment, edge-case contents."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hsearch_ray.config import PipelineConfig
+
+
+def test_token_count_matches_regex():
+    from hsearch_ray.stages.textstats import token_count_batch
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b  c", "", "  x "]})
+    out = token_count_batch(df)
+    assert list(out["n_tokens"]) == [3, 0, 1]
+
+
+def test_langid_priority_tiebreak():
+    from hsearch_ray.stages.textstats import langid_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "x the y and z", "x der y und z", "no markers here",
+                " the  der ",  # tie en==de -> en wins
+            ],
+        }
+    )
+    out = langid_batch(df)
+    assert list(out["predicted"]) == ["en", "de", "other", "en"]
+
+
+def test_quality_stats_division():
+    from hsearch_ray.stages.textstats import quality_stats_batch
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["ab cd"]})
+    out = quality_stats_batch(df)
+    assert out["n_chars_calc"][0] == 5
+    assert out["n_spaces"][0] == 1
+    assert out["n_tokens"][0] == 2
+    assert out["avg_token_len"][0] == 2.0
+
+
+def test_ann_brute_force_exact(ray_session):
+    import ray.data
+
+    from hsearch_ray.stages.ann import brute_force_topk
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    emb = rng.standard_normal((100, 16)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    queries = {0: emb[0].astype(np.float64), 7: emb[7].astype(np.float64)}
+    got = brute_force_topk(ray.data.from_arrow(tbl), queries, k=3).to_pandas()
+    # numpy oracle
+    e64 = emb.astype(np.float64)
+    norm = e64 / np.linalg.norm(e64, axis=1, keepdims=True)
+    for qid in queries:
+        sims = norm @ norm[qid]
+        sims[qid] = -np.inf
+        want = set(np.argsort(-np.round(sims, 6), kind="stable")[:3])
+        have = set(got.loc[got["query_id"] == qid, "neighbor_id"])
+        assert have == want
+
+
+def test_containment_finds_planted_pair(ray_session):
+    import ray.data
+
+    from hsearch_ray.stages.containment import containment_pairs
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.signatures import sign
+
+    base = "def f(x):\n    return x + 1\n" * 30
+    big = base + "def g(y):\n    return y * 2\n" * 30
+    other = "class Z:\n    pass\n" * 40
+    tbl = pa.table(
+        {
+            "repo": ["r"] * 3, "path": ["a", "b", "c"], "commit": ["c"] * 3,
+            "lang": ["py"] * 3, "content": [base, big, other],
+        }
+    )
+    cfg = PipelineConfig()
+    corpus = normalize(ray.data.from_arrow(tbl)).materialize()
+    pairs = containment_pairs(sign(corpus, cfg, with_fingerprints=True), corpus, cfg)
+    rows = pairs.take_all()
+    assert len(rows) >= 1
+    assert all(r["containment"] >= cfg.containment_threshold for r in rows)
+    # base ⊂ big must be among them
+    fids = {int(r["a"]) for r in rows} | {int(r["b"]) for r in rows}
+    assert len(fids) == 2  # only base & big, not `other`
+
+
+def test_pipeline_edge_contents(ray_session):
+    """Empty, 1-char, shorter-than-k, non-ASCII, huge-line rows survive the
+    full pipeline with sha256 intact and no spurious pairs."""
+    import hashlib
+
+    import ray.data
+
+    from hsearch_ray.pipelines.dedup import dedup_pipeline
+
+    contents = ["", "x", "ab", "héllo wörld 中文 😀" * 3, "z" * 50000]
+    tbl = pa.table(
+        {
+            "repo": ["r"] * 5, "path": [f"p{i}" for i in range(5)],
+            "commit": ["c"] * 5, "lang": ["py"] * 5, "content": contents,
+        }
+    )
+    res = dedup_pipeline(ray.data.from_arrow(tbl), PipelineConfig())
+    assert res.clusters.count() == 5
+    assert res.pairs.count() == 0
+    kept = res.kept.take_all()
+    assert {r["sha256"] for r in kept} == {
+        hashlib.sha256(c.encode()).hexdigest() for c in contents
+    }
+
+
+def test_crlf_pair_detected(ray_session):
+    """CRLF and LF variants: distinct sha256 but near-identical shingles ->
+    must land in the same cluster via the MinHash path (F5)."""
+    import ray.data
+
+    from hsearch_ray.pipelines.dedup import dedup_pipeline
+
+    lf = "def f(x):\n    return x + 1\n" * 20
+    crlf = lf.replace("\n", "\r\n")
+    tbl = pa.table(
+        {
+            "repo": ["r", "r"], "path": ["a.py", "b.py"], "commit": ["c"] * 2,
+            "lang": ["py"] * 2, "content": [lf, crlf],
+        }
+    )
+    res = dedup_pipeline(ray.data.from_arrow(tbl), PipelineConfig())
+    cl = {int(r["file_id"]): int(r["cluster_id"]) for r in res.clusters.take_all()}
+    assert len(set(cl.values())) == 1

@@ -8,7 +8,8 @@ import pytest
 from hsearch_ray.reference_impl import UnionFind
 
 
-def _cc_via_ray(edges, ray_session=None):
+def _cc_via_ray(edges, driver_threshold=0):
+    """driver_threshold=0 forces the DISTRIBUTED star-contraction path."""
     import ray.data
 
     from hsearch_ray.stages.unionfind import connected_components
@@ -17,7 +18,9 @@ def _cc_via_ray(edges, ray_session=None):
         {"a": pa.array([e[0] for e in edges], pa.int64()),
          "b": pa.array([e[1] for e in edges], pa.int64())}
     )
-    roots = connected_components(ray.data.from_arrow(tbl))
+    roots = connected_components(
+        ray.data.from_arrow(tbl), driver_threshold=driver_threshold
+    )
     out = {}
     for r in roots.take_all():
         out[int(r["file_id"])] = int(r["cluster_id"])
@@ -62,3 +65,11 @@ def test_cc_order_independence(ray_session):
 def test_cc_empty(ray_session):
     got = _cc_via_ray([])
     assert got == {}
+
+
+def test_cc_hybrid_matches_distributed(ray_session):
+    rng = np.random.Generator(np.random.PCG64(9))
+    edges = [(int(a), int(b)) for a, b in rng.integers(1, 80, size=(120, 2)) if a != b]
+    assert _cc_via_ray(edges, driver_threshold=0) == _cc_via_ray(
+        edges, driver_threshold=10**6
+    )
