@@ -30,11 +30,15 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 AMPLIFY = int(os.environ.get("GRAFT_BENCH_AMPLIFY", "4"))
 SCALING_AMPLIFY = int(os.environ.get("GRAFT_SCALING_AMPLIFY", "192"))
+HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "0") == "1"
+# exact,near dup fractions per amplified copy (rest are distinct files)
+DUP_RATES = tuple(float(x) for x in os.environ.get("GRAFT_BENCH_DUPS", "0.15,0.15").split(","))
 
 
 def corpus_cache_dir(sf_dir: str, factor: int) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
-    return f"/tmp/graft_bench_corpus_{tag}_x{factor}"
+    d = f"{DUP_RATES[0]:g}-{DUP_RATES[1]:g}"
+    return f"/tmp/graft_bench_corpus_{tag}_x{factor}_d{d}"
 
 
 def ensure_corpus_parquet(sf_dir: str, factor: int) -> str:
@@ -86,10 +90,10 @@ def _amplified_corpus(sf_dir: str, factor: int):
                 kind = "orig"
             else:
                 r = rng.random()
-                if r < 0.15:
+                if r < DUP_RATES[0]:
                     body = t  # exact clone under a different path
                     kind = "exact"
-                elif r < 0.30:
+                elif r < DUP_RATES[0] + DUP_RATES[1]:
                     words = t.split(" ")
                     for _ in range(1 + int(rng.integers(0, 3))):
                         j = int(rng.integers(0, len(words)))
@@ -165,6 +169,20 @@ def run_bench() -> dict:
     res = dedup_pipeline(ray.data.read_parquet(corpus_dir), PipelineConfig())
     n_clusters = res.clusters.count()
     headline = time.perf_counter() - t0
+    # order-insensitive fingerprint of the clustering (checked equal
+    # across parallelism levels by --scaling: determinism evidence)
+    import numpy as np
+
+    acc = np.uint64(0)
+    n_groups = 0
+    for b in res.clusters.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        f = b["file_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        c = b["cluster_id"].to_numpy(zero_copy_only=False).view(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (f * np.uint64(0x9E3779B97F4A7C15)) ^ c
+        acc = np.uint64((int(acc) + int(h.sum(dtype=np.uint64))) & 0xFFFFFFFFFFFFFFFF)
+        n_groups += int((f != c).sum())  # rows absorbed into another file's cluster
+    cluster_fingerprint = f"{int(acc):016x}" 
     timings["dedup_pipeline"] = round(headline, 3)
 
     def bench_q(name: str, fn):
@@ -175,12 +193,13 @@ def run_bench() -> dict:
             out.count()
         timings[name] = round(time.perf_counter() - t, 3)
 
-    bench_q("q1_pricing_summary", Q.q1_pricing_summary)
-    bench_q("orders_by_nation", Q.q_orders_by_nation)
-    bench_q("token_count_docs", Q.q_token_count_docs)
-    bench_q("exact_dedup_docs", Q.q_exact_dedup_docs)
-    bench_q("ann_topk", Q.q_ann_topk)
-    bench_q("containment_pairs_docs", Q.q_containment_pairs_docs)
+    if not HEADLINE_ONLY:
+        bench_q("q1_pricing_summary", Q.q1_pricing_summary)
+        bench_q("orders_by_nation", Q.q_orders_by_nation)
+        bench_q("token_count_docs", Q.q_token_count_docs)
+        bench_q("exact_dedup_docs", Q.q_exact_dedup_docs)
+        bench_q("ann_topk", Q.q_ann_topk)
+        bench_q("containment_pairs_docs", Q.q_containment_pairs_docs)
 
     result = {
         "metric": "dedup_pipeline_sec",
@@ -191,6 +210,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "corpus_files": n_files,
         "clusters_rows": n_clusters,
+        "dup_rows": n_groups,
+        "cluster_fingerprint": cluster_fingerprint,
         "files_per_sec": round(n_files / headline, 1),
     }
     ray.shutdown()
@@ -205,7 +226,8 @@ def run_scaling() -> dict:
         # bigger corpus than the default bench so compute dominates the
         # fixed session overhead and efficiency reflects real scaling
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_AMPLIFY=str(SCALING_AMPLIFY))
+                   GRAFT_BENCH_AMPLIFY=str(SCALING_AMPLIFY),
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
@@ -225,6 +247,8 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "identical_clusters_across_levels":
+            lo["cluster_fingerprint"] == hi["cluster_fingerprint"],
         "sec_8": lo["value"],
         "sec_32": hi["value"],
         "files_per_sec_8": thr_lo,

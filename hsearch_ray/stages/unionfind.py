@@ -93,6 +93,37 @@ def _edge_checksum(edges_ds) -> tuple[int, int]:
     return chk, n
 
 
+def _numpy_cc(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized single-process connected components: min-label
+    propagation over sorted incident-edge segments + pointer jumping.
+    Nodes are compressed to indices; since np.unique sorts ascending,
+    min INDEX == min file_id, so final labels are component-min ids.
+    O(E log E) setup + O(E) per round, a handful of rounds."""
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: u.size], inv[u.size :]
+    src = np.concatenate([iu, iv])
+    dst = np.concatenate([iv, iu])
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    starts = np.nonzero(np.concatenate(([True], src_s[1:] != src_s[:-1])))[0]
+    seg_nodes = src_s[starts]
+    label = np.arange(nodes.size, dtype=np.int64)
+    for _ in range(64):
+        nb_min = np.minimum.reduceat(label[dst_s], starts)
+        new = label.copy()
+        new[seg_nodes] = np.minimum(new[seg_nodes], nb_min)
+        # pointer jumping to component minimum
+        while True:
+            nxt = new[new]
+            if np.array_equal(nxt, new):
+                break
+            new = nxt
+        if np.array_equal(new, label):
+            break
+        label = new
+    return nodes, nodes[label]
+
+
 def connected_components(edges_ds, max_iters: int = 64,
                          driver_threshold: int = 2_000_000):
     """(a,b) edge Dataset -> (file_id, cluster_id) root map Dataset.
@@ -115,24 +146,18 @@ def connected_components(edges_ds, max_iters: int = 64,
     edges = edges_ds.map_batches(_project_uv, batch_format="pyarrow").materialize()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
-        from hsearch_ray.reference_impl import UnionFind
-
-        uf = UnionFind()
-        nodes: set[int] = set()
+        u_parts, v_parts = [], []
         for batch in edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-            u = batch["u"].to_numpy(zero_copy_only=False)
-            v = batch["v"].to_numpy(zero_copy_only=False)
-            for i in range(len(u)):
-                a, b = int(u[i]), int(v[i])
-                uf.union(a, b)
-                nodes.add(a)
-                nodes.add(b)
-        ids = sorted(nodes)
+            u_parts.append(batch["u"].to_numpy(zero_copy_only=False))
+            v_parts.append(batch["v"].to_numpy(zero_copy_only=False))
+        if not u_parts:
+            return ray.data.from_arrow(
+                pa.schema([("file_id", pa.int64()), ("cluster_id", pa.int64())]).empty_table()
+            )
+        nodes, labels = _numpy_cc(np.concatenate(u_parts), np.concatenate(v_parts))
         roots = pa.table(
-            {
-                "file_id": pa.array(ids, pa.int64()),
-                "cluster_id": pa.array([uf.find(i) for i in ids], pa.int64()),
-            }
+            {"file_id": pa.array(nodes, pa.int64()),
+             "cluster_id": pa.array(labels, pa.int64())}
         )
         return ray.data.from_arrow(roots)
     prev = None

@@ -58,37 +58,57 @@ def candidate_ids(pairs_ds) -> np.ndarray:
 
 
 class Verifier:
-    """Actor-pool exact-Jaccard verifier over the shared shingle store."""
+    """Exact-Jaccard verifier over the SHARDED zero-copy shingle store.
+
+    Each shard is (ids_sorted, starts, lens, values): per-file segments
+    point into ``values`` wherever the distributed shingle pass placed
+    them (start/len indirection — assembly never reorders bytes).
+    Lookups route by shard bounds, then searchsorted within the shard."""
 
     def __init__(self, cfg: PipelineConfig, store_ref):
         self.cfg = cfg
-        self.ids, self.offsets, self.allsh = ray.get(store_ref)  # zero-copy
+        bounds, shard_refs = ray.get(store_ref)
+        self.bounds = bounds
+        self.shards = ray.get(shard_refs)  # zero-copy numpy views
 
-    def _slice(self, pos: int) -> np.ndarray:
-        return self.allsh[self.offsets[pos] : self.offsets[pos + 1]]
+    def _locate(self, x: np.ndarray):
+        """(shard_idx, pos_in_shard, found, sizes) for an id array."""
+        shard_idx = np.searchsorted(self.bounds, x, side="right")
+        pos = np.zeros(x.size, dtype=np.int64)
+        found = np.zeros(x.size, dtype=bool)
+        sizes = np.zeros(x.size, dtype=np.int64)
+        for s in np.unique(shard_idx):
+            ids_s, _, lens_s, _ = self.shards[s]
+            rows = np.nonzero(shard_idx == s)[0]
+            if ids_s.size == 0:
+                continue
+            p = np.searchsorted(ids_s, x[rows])
+            pc = np.minimum(p, ids_s.size - 1)
+            ok = ids_s[pc] == x[rows]
+            pos[rows] = pc
+            found[rows] = ok
+            sizes[rows] = np.where(ok, lens_s[pc], 0)
+        return shard_idx, pos, found, sizes
+
+    def _slice(self, shard: int, pos: int) -> np.ndarray:
+        _, starts, lens, vals = self.shards[shard]
+        s = starts[pos]
+        return vals[s : s + lens[pos]]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         thr = self.cfg.jaccard_threshold
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
-        pa_idx = np.searchsorted(self.ids, a)
-        pb_idx = np.searchsorted(self.ids, b)
-        valid = (
-            (pa_idx < self.ids.size)
-            & (pb_idx < self.ids.size)
-            & (self.ids[np.minimum(pa_idx, self.ids.size - 1)] == a)
-            & (self.ids[np.minimum(pb_idx, self.ids.size - 1)] == b)
-        )
-        sizes = np.diff(self.offsets)
-        na = sizes[np.minimum(pa_idx, sizes.size - 1)]
-        nb = sizes[np.minimum(pb_idx, sizes.size - 1)]
+        sa_idx, pa_pos, a_ok, na = self._locate(a)
+        sb_idx, pb_pos, b_ok, nb = self._locate(b)
         lo = np.minimum(na, nb)
         hi = np.maximum(na, nb)
         # size-ratio bound: attainable Jaccard <= |small|/|big|
-        candidates = np.nonzero(valid & (lo > 0) & (lo >= thr * hi))[0]
+        candidates = np.nonzero(a_ok & b_ok & (lo > 0) & (lo >= thr * hi))[0]
         out_a, out_b, out_j = [], [], []
         for i in candidates:
-            sa, sb = self._slice(pa_idx[i]), self._slice(pb_idx[i])
+            sa = self._slice(sa_idx[i], pa_pos[i])
+            sb = self._slice(sb_idx[i], pb_pos[i])
             inter = H.intersect_count(sa, sb)
             union = sa.size + sb.size - inter
             j = inter / union if union else 0.0
@@ -147,39 +167,66 @@ def _list_views(col) -> tuple[np.ndarray, np.ndarray]:
     return (byte_offsets // 8).astype(np.int64), values
 
 
-def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig):
-    """Assemble the zero-copy shingle store from the distributed
-    shingle_lists pass: one plasma object (ids_sorted, offsets, values)
-    whose numpy buffers are SHARED by every Verifier actor on the node
-    (ray.get of numpy is zero-copy).  Assembly streams Arrow batches and
-    touches each byte once — no pandas, no exploded per-shingle rows."""
-    sh_ds = shingle_lists(corpus_ds, ids, cfg)
-    fid_parts: list[np.ndarray] = []
-    val_parts: list[np.ndarray] = []
-    len_parts: list[np.ndarray] = []
-    for batch in sh_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        if batch.num_rows == 0:
+@ray.remote
+def _assemble_shard(lo: int, hi: int, *blocks):
+    """Assemble one id-range shard of the shingle store from the
+    materialized shingle_lists blocks.  Reads are zero-copy from the
+    local object store; only this shard's values are copied.  The return
+    value lands in plasma automatically (it IS the shard object)."""
+    fid_parts, val_parts, len_parts = [], [], []
+    for tbl in blocks:
+        if tbl.num_rows == 0:
             continue
-        fid_parts.append(batch["file_id"].to_numpy(zero_copy_only=False))
-        off, val = _list_views(batch["sh"])
-        len_parts.append(np.diff(off))
-        val_parts.append(val[off[0] : off[-1]])
+        fid = tbl["file_id"].to_numpy(zero_copy_only=False)
+        mask = (fid >= lo) & (fid < hi)
+        if not mask.any():
+            continue
+        off, val = _list_views(tbl["sh"])
+        lens = np.diff(off)
+        starts = off[:-1] - off[0]
+        vals_local = val[off[0] : off[-1]]
+        sel = np.nonzero(mask)[0]
+        fid_parts.append(fid[sel])
+        len_parts.append(lens[sel])
+        val_parts.extend(
+            vals_local[starts[i] : starts[i] + lens[i]] for i in sel
+        )
     if not fid_parts:
-        empty = np.empty(0, dtype=np.int64)
-        return ray.put((empty, np.array([0], dtype=np.int64), np.empty(0, np.uint64)))
+        e = np.empty(0, dtype=np.int64)
+        return (e, e, e, np.empty(0, np.uint64))
     fid = np.concatenate(fid_parts)
     lens = np.concatenate(len_parts)
-    vals = np.concatenate(val_parts)
-    order = np.argsort(fid, kind="stable")
-    # reorder the variable-length segments to file_id order
+    vals = np.concatenate(val_parts) if val_parts else np.empty(0, np.uint64)
     starts = np.zeros(fid.size + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
-    out_vals = np.empty_like(vals)
-    out_offsets = np.zeros(fid.size + 1, dtype=np.int64)
-    np.cumsum(lens[order], out=out_offsets[1:])
-    for j, i in enumerate(order):
-        out_vals[out_offsets[j] : out_offsets[j + 1]] = vals[starts[i] : starts[i + 1]]
-    return ray.put((fid[order], out_offsets, out_vals))
+    order = np.argsort(fid, kind="stable")
+    return (fid[order], starts[:-1][order], lens[order], vals)
+
+
+def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig,
+                num_shards: int | None = None):
+    """Sharded zero-copy shingle store: the distributed shingle pass is
+    materialized, then ``num_shards`` remote tasks each assemble one
+    id-range shard IN PARALLEL — the driver never touches shingle bytes.
+    Returns (shard_bounds: np.ndarray, shard_refs: list[ObjectRef]).
+    On a multi-node cluster the same layout lets each node cache only
+    the shards its pair partitions touch."""
+    import ray as _ray
+
+    if num_shards is None:
+        num_shards = max(4, int(_ray.cluster_resources().get("CPU", 8)) // 2)
+    sh_ds = shingle_lists(corpus_ds, ids, cfg).materialize()
+    block_refs = [ref for ref in sh_ds.to_arrow_refs()]
+    ids_sorted = np.sort(ids)
+    cut = np.linspace(0, ids_sorted.size, num_shards + 1).astype(np.int64)[1:-1]
+    bounds = np.concatenate(
+        ([np.iinfo(np.int64).min], ids_sorted[cut], [np.iinfo(np.int64).max])
+    )
+    shard_refs = [
+        _assemble_shard.remote(int(bounds[s]), int(bounds[s + 1]), *block_refs)
+        for s in range(num_shards)
+    ]
+    return ray.put((bounds[1:-1], shard_refs))
 
 
 def verify_pairs(pairs_ds, corpus_ds, cfg: PipelineConfig):
