@@ -29,7 +29,7 @@ import ray
 from hsearch_ray import hashing as H
 from hsearch_ray.config import PipelineConfig
 from hsearch_ray.stages.agg import grouped_agg
-from hsearch_ray.stages.verify import candidate_ids, gather_candidate_contents
+from hsearch_ray.stages.verify import Verifier, build_store, candidate_ids
 
 PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
@@ -71,31 +71,24 @@ def _emit_fp_pairs(cap: int):
     return emit
 
 
-class _ContainmentVerifier:
-    def __init__(self, cfg: PipelineConfig, contents_ref):
-        self.cfg = cfg
-        self.contents: dict[int, bytes] = ray.get(contents_ref)
-        self.cache: dict[int, np.ndarray] = {}
-
-    def _shingles(self, fid: int) -> np.ndarray:
-        s = self.cache.get(fid)
-        if s is None:
-            s = H.shingle_hashes(self.contents.get(fid, b""), self.cfg.shingle_k)
-            if len(self.cache) > 50_000:
-                self.cache.clear()
-            self.cache[fid] = s
-        return s
+class _ContainmentVerifier(Verifier):
+    """Shares the sharded zero-copy shingle store with the Jaccard
+    verifier; the verdict function is containment = |A∩B| / min(|A|,|B|)
+    (no size-ratio prefilter — containment is attainable at any ratio)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        thr = self.cfg.containment_threshold
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
+        sa_idx, pa_pos, a_ok, na = self._locate(a)
+        sb_idx, pb_pos, b_ok, nb = self._locate(b)
+        candidates = np.nonzero(a_ok & b_ok & (na > 0) & (nb > 0))[0]
         oa, ob, oc = [], [], []
-        for i in range(len(a)):
-            sa, sb = self._shingles(int(a[i])), self._shingles(int(b[i]))
-            if sa.size == 0 or sb.size == 0:
-                continue
-            c = H.containment(sa, sb)
-            if c >= self.cfg.containment_threshold:
+        for i in candidates:
+            sa = self._slice(sa_idx[i], pa_pos[i])
+            sb = self._slice(sb_idx[i], pb_pos[i])
+            c = H.intersect_count(sa, sb) / min(sa.size, sb.size)
+            if c >= thr:
                 oa.append(int(a[i]))
                 ob.append(int(b[i]))
                 oc.append(c)
@@ -148,11 +141,13 @@ def containment_pairs(sig_ds, corpus_ds, cfg: PipelineConfig):
                  ("containment", pa.float64()), ("method", pa.string())]
             ).empty_table()
         )
-    contents_ref = gather_candidate_contents(corpus_ds, ids)
+    store_ref = build_store(corpus_ds, ids, cfg)
+
+    def _verify_task(batch: pa.Table) -> pa.Table:
+        return _ContainmentVerifier(cfg, store_ref)(batch)
+
     return cand.map_batches(
-        _ContainmentVerifier,
-        fn_constructor_args=(cfg, contents_ref),
+        _verify_task,
         batch_format="pyarrow",
         batch_size=cfg.verify_batch_size,
-        concurrency=cfg.verify_concurrency,
     )

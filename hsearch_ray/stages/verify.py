@@ -256,23 +256,3 @@ def verify_pairs(pairs_ds, corpus_ds, cfg: PipelineConfig):
         batch_format="pyarrow",
         batch_size=cfg.verify_batch_size,
     )
-
-
-def gather_candidate_contents(corpus_ds, ids: np.ndarray):
-    """Broadcast semi-join: {file_id: normalized content bytes} for the
-    candidate files (used by the containment verifier)."""
-    ids_ref = ray.put(np.sort(ids))
-
-    def _filter(batch: pa.Table) -> pa.Table:
-        fid = batch["file_id"].to_numpy(zero_copy_only=False)
-        mask = np.isin(fid, ray.get(ids_ref))
-        return batch.filter(pa.array(mask)).select(["file_id", "content"])
-
-    rows = corpus_ds.map_batches(_filter, batch_format="pyarrow").take_all()
-    contents = {
-        int(r["file_id"]): H.normalize_for_shingles(
-            r["content"].encode() if isinstance(r["content"], str) else r["content"]
-        )
-        for r in rows
-    }
-    return ray.put(contents)

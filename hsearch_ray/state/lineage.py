@@ -51,6 +51,19 @@ def write_checkpoint(ds, stage_dir: str, fingerprint: str, stage: str,
     elapsed = time.perf_counter() - t0
     out = ray.data.read_parquet(tmp)
     n = out.count()
+    # per-partition lineage: row count + bytes per written file, so a
+    # resumed / auditing run can validate each partition independently
+    import pyarrow.parquet as pq
+
+    partitions = []
+    for name in sorted(os.listdir(tmp)):
+        if not name.endswith(".parquet"):
+            continue
+        path = os.path.join(tmp, name)
+        meta = pq.ParquetFile(path).metadata
+        partitions.append(
+            {"file": name, "rows": meta.num_rows, "bytes": os.path.getsize(path)}
+        )
     with open(_manifest_path(tmp), "w") as f:
         json.dump(
             {
@@ -58,6 +71,7 @@ def write_checkpoint(ds, stage_dir: str, fingerprint: str, stage: str,
                 "fingerprint": fingerprint,
                 "rows": n,
                 "elapsed_write_sec": round(elapsed, 3),
+                "partitions": partitions,
                 "metrics": metrics or {},
                 "complete": True,
             },

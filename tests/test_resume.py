@@ -35,6 +35,10 @@ def test_checkpoint_write_and_resume(ray_session, tiny_corpus, tmp_path):
     assert manifest["complete"] is True
     assert manifest["rows"] > 0
     assert "seed=42" in manifest["fingerprint"]
+    # per-partition lineage: every written parquet file accounted for
+    assert manifest["partitions"]
+    assert sum(p["rows"] for p in manifest["partitions"]) == manifest["rows"]
+    assert all(p["bytes"] > 0 for p in manifest["partitions"])
 
     # second run resumes from both checkpoints and reproduces the result
     r2 = dedup_pipeline(ray.data.from_arrow(corpus), cfg, checkpoint_dir=ckpt)
