@@ -1,4 +1,4 @@
-"""Exact verification of candidate pairs (actor-pool stage).
+"""Exact verification of candidate pairs.
 
 Analog of the reference's exact within-bucket check — Euclidean
 distance <= R in /root/reference/hclust/src/hclust/kmer_search.cpp:107-111
@@ -15,12 +15,14 @@ Data movement plan:
      corpus computes each file's sorted unique shingle array (the
      per-bucket index build of the reference, hash_search.cpp:164-261,
      done once per file instead of once per bucket).
-  3. The arrays are assembled into ONE plasma object
-     (ids, offsets, concatenated shingles) — numpy buffers are
-     ZERO-COPY on ray.get, so every Verifier actor shares the same
-     memory instead of deserializing a per-actor dict.
-  4. Verifier actors slice the store by searchsorted lookup and compute
-     exact Jaccard with a sorted-array intersection (no re-sort).
+  3. Parallel remote tasks assemble id-range SHARDS of the store
+     (ids, starts, lens, values per shard) — the driver never touches
+     shingle bytes, and numpy buffers are ZERO-COPY on ray.get, so all
+     verify tasks on a node share the same memory.
+  4. Verify tasks route lookups by shard bounds + searchsorted and
+     compute exact Jaccard with a sorted-array intersection (no
+     re-sort).  Stateless warm-worker tasks: per-task store access is a
+     local object-store lookup.
 """
 
 from __future__ import annotations
