@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) over the hashing kernels and the
+pair/cluster invariants — the F5 fixture class of FIXTURES.md."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hsearch_ray import hashing as H
+
+uint63 = st.integers(min_value=0, max_value=(1 << 63) - 1)
+
+
+@given(st.binary(min_size=0, max_size=2000), st.integers(min_value=2, max_value=16))
+@settings(max_examples=50, deadline=None)
+def test_shingle_hashes_properties(content, k):
+    s = H.shingle_hashes(content, k)
+    assert s.dtype == np.uint64
+    assert np.all(s[:-1] < s[1:])  # sorted strictly unique
+    # determinism
+    assert np.array_equal(s, H.shingle_hashes(content, k))
+    # non-empty content always yields at least one shingle
+    assert (s.size > 0) == (len(content) > 0)
+
+
+@given(st.lists(uint63, min_size=0, max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_jaccard_containment_bounds(vals):
+    a = np.unique(np.array(vals, dtype=np.uint64)) if vals else np.empty(0, np.uint64)
+    b = a[: a.size // 2]
+    j = H.exact_jaccard(a, b)
+    c = H.containment(a, b)
+    assert 0.0 <= j <= 1.0
+    if b.size:
+        assert c == 1.0  # b ⊆ a
+        assert j == b.size / a.size
+    assert H.exact_jaccard(a, a) == 1.0
+    # symmetry
+    assert H.exact_jaccard(a, b) == H.exact_jaccard(b, a)
+    assert H.intersect_count(a, b) == H.intersect_count(b, a)
+
+
+@given(st.lists(uint63, min_size=1, max_size=400), st.integers(0, 1 << 31))
+@settings(max_examples=50, deadline=None)
+def test_oph_properties(vals, seed):
+    sh = np.unique(np.array(vals, dtype=np.uint64))
+    sig = H.minhash_oph(sh, 128, seed)
+    assert sig.shape == (128,)
+    assert np.array_equal(sig, H.minhash_oph(sh, 128, seed))
+    # identical sets collide on every bin
+    assert np.all(sig == H.minhash_oph(sh.copy(), 128, seed))
+    # permutation invariance of input order is implied by sorted-unique input
+
+
+@given(st.lists(st.tuples(st.integers(1, 200), st.integers(1, 200)),
+                min_size=0, max_size=300))
+@settings(max_examples=30, deadline=None)
+def test_numpy_cc_matches_unionfind(edges):
+    from hsearch_ray.reference_impl import UnionFind
+    from hsearch_ray.stages.unionfind import _numpy_cc
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    u = np.array([e[0] for e in edges], dtype=np.int64)
+    v = np.array([e[1] for e in edges], dtype=np.int64)
+    nodes, labels = _numpy_cc(u, v)
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    want = {n: uf.find(n) for n in set(u) | set(v)}
+    got = dict(zip(nodes.tolist(), labels.tolist()))
+    assert got == want
+
+
+@given(st.lists(uint63, min_size=2, max_size=200), st.integers(2, 32))
+@settings(max_examples=30, deadline=None)
+def test_pairs_within_runs_canonical(vals, cap):
+    from hsearch_ray.stages.lsh import _pairs_within_runs
+
+    keys = np.sort(np.array([v % 7 for v in vals], dtype=np.int64))
+    fids = np.array(vals[: keys.size], dtype=np.int64)
+    a, b = _pairs_within_runs(keys, fids, cap)
+    assert np.all(a <= b)  # canonical ordering
+    # every emitted pair shares a key
+    key_of = {}
+    for k, f in zip(keys, fids):
+        key_of.setdefault(int(f), set()).add(int(k))
+    for x, y in zip(a, b):
+        assert key_of[int(x)] & key_of[int(y)]
