@@ -29,7 +29,15 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 AMPLIFY = int(os.environ.get("GRAFT_BENCH_AMPLIFY", "4"))
-SCALING_AMPLIFY = int(os.environ.get("GRAFT_SCALING_AMPLIFY", "192"))
+SCALING_AMPLIFY = int(os.environ.get("GRAFT_SCALING_AMPLIFY", "384"))
+
+# Quiet Ray Data's console logging in every worker process (must be set
+# before ray.init so workers inherit it); full logs still go to the
+# session log file.
+_LOG_YAML = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "hsearch_ray", "ray_data_logging.yaml")
+if os.path.exists(_LOG_YAML):
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", _LOG_YAML)
 HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "0") == "1"
 # exact,near dup fractions per amplified copy (rest are distinct files)
 DUP_RATES = tuple(float(x) for x in os.environ.get("GRAFT_BENCH_DUPS", "0.15,0.15").split(","))

@@ -44,6 +44,21 @@ class PipelineConfig:
     # --- skew handling (the reference's unhandled weak point, pcluster.cpp:37-66) ---
     max_bucket_pairs_exhaustive: int = 64   # buckets up to this size emit all pairs
     hot_bucket_window: int = 4              # larger buckets: star to min + simhash-sorted ring window
+    # --- similarity-space normalization (M6 analog: compressed-alphabet
+    #     encode, pcluster/src/pcluster/hash_search.cpp:34-75 murphy10 —
+    #     matching robust to symbol-level churn).  For code, the churn is
+    #     whitespace/identifier noise: when enabled, shingling sees
+    #     whitespace runs collapsed to one space and identifier tokens
+    #     canonicalized to a fixed symbol, so rename-only clones match.
+    #     sha256 / exact dedup ALWAYS stays on raw bytes. ---
+    token_canonicalize: bool = False
+    # --- borderline edit-similarity verify (F12/F13 analog: seed-extend
+    #     alignment, hash_search.cpp:661-948).  Pairs whose exact Jaccard
+    #     lands in [thr - edit_band, thr) get a token-LCS similarity
+    #     check; >= edit_sim_threshold admits them as method="edit". ---
+    edit_verify: bool = False
+    edit_band: float = 0.1
+    edit_sim_threshold: float = 0.8
     # --- determinism ---
     seed: int = 42
     # --- execution sizing ---

@@ -3,19 +3,28 @@
 Composition (SURVEY.md §7.1):
 
   corpus -> normalize(+sha256/file_id)            stateless map_batches
-         -> exact dedup groupby(sha256)           SHUFFLE 1
-         -> Signer actor pool (minhash+simhash)   stateful, zero-copy Arrow
-         -> band explode -> bucket stats          SHUFFLE 2 (narrow)
-         -> candidate pairs (cold groupby /       SHUFFLE 3
-            hot hub-star broadcast)
-         -> distinct (a,b)                        SHUFFLE 4 (narrow)
-         -> Verifier actor pool (exact Jaccard)   stateful, broadcast contents
-         -> union exact edges -> connected comps  SHUFFLES 5.. (tiny edge set)
-         -> attach cluster ids to every file
+         -> exact dedup (narrow partials +        no content shuffle
+            broadcast dup map)
+         -> sign (minhash) -> band explode        stateless, zero-copy
+         -> candidate pairs                       SHUFFLE: one gkey sort
+         -> distinct (a,b)                        SHUFFLE: one pair sort
+         -> Verifier (exact Jaccard)              sharded zero-copy store
+         -> union exact edges -> connected comps  tiny edge set
+         -> attach cluster ids to every file      broadcast searchsorted
 
-Each numbered shuffle is listed in the returned metrics; optional
-checkpoints after exact-dedup / signatures / pairs make the run
-resumable (state.lineage).
+Execution-count discipline (the round-1 scaling lesson): every
+``materialize()`` / driver combine is a separate dataset execution with
+a fixed scheduling cost, so the pipeline materializes ONLY at true
+multi-consumer boundaries — normalized corpus, bucket-run scan,
+distinct pairs, verified pairs, CC edges.  Everything else chains into
+those executions lazily.
+
+Resume: with ``checkpoint_dir``, the 'tagged' and 'pairs' stages write
+parquet + lineage manifests; on rerun, checkpoint validity is tested
+FIRST and upstream stages are neither constructed nor executed when a
+valid checkpoint covers them.  The fingerprint mixes the config knobs
+with ``input_tag`` (caller-supplied input identity — path, snapshot id,
+row count...) so a checkpoint never resumes onto a different corpus.
 """
 
 from __future__ import annotations
@@ -42,15 +51,26 @@ class DedupResult:
     metrics: dict = field(default_factory=dict)
 
 
+def _project_edges(batch):
+    import pyarrow as pa
+
+    return pa.table({"a": batch["a"].cast(pa.int64()),
+                     "b": batch["b"].cast(pa.int64())})
+
+
 def dedup_pipeline(
     corpus_ds,
     cfg: PipelineConfig | None = None,
     checkpoint_dir: str | None = None,
+    input_tag: str | None = None,
 ) -> DedupResult:
     """corpus Dataset (repo,path,commit,lang,content) -> DedupResult.
 
     ``checkpoint_dir`` enables parquet checkpoints + lineage manifests
-    after the exact-dedup and verified-pairs stages (resume boundary).
+    after the exact-dedup and verified-pairs stages (resume boundary);
+    pass ``input_tag`` to identify the input corpus (required with
+    checkpoints — a config-only fingerprint would silently resume onto
+    a different input).
     """
     from hsearch_ray.state import lineage
 
@@ -58,26 +78,19 @@ def dedup_pipeline(
     metrics: dict = {"config_seed": cfg.seed}
     t0 = time.perf_counter()
 
-    fingerprint = f"seed={cfg.seed},k={cfg.shingle_k},perms={cfg.num_perms},bands={cfg.num_bands},thr={cfg.jaccard_threshold}"
+    if checkpoint_dir and input_tag is None:
+        raise ValueError("checkpoint_dir requires input_tag (input identity "
+                         "is part of the checkpoint fingerprint)")
+    fingerprint = (
+        f"input={input_tag},seed={cfg.seed},k={cfg.shingle_k},"
+        f"perms={cfg.num_perms},bands={cfg.num_bands},thr={cfg.jaccard_threshold},"
+        f"scheme={cfg.minhash_scheme},canon={cfg.token_canonicalize}"
+    )
+    tagged_dir = f"{checkpoint_dir}/tagged" if checkpoint_dir else None
+    pairs_dir = f"{checkpoint_dir}/pairs" if checkpoint_dir else None
+    tagged_ok = tagged_dir is not None and lineage.checkpoint_valid(tagged_dir, fingerprint)
+    pairs_ok = pairs_dir is not None and lineage.checkpoint_valid(pairs_dir, fingerprint)
 
-    # Parallelism floor: a single-block input (from_arrow, one parquet
-    # file with one row group) would serialize every downstream stage to
-    # one task.  Split to ~2 blocks per CPU so actor pools actually fill;
-    # repartition without shuffle just splits/coalesces block boundaries.
-    import ray as _ray
-
-    target_blocks = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
-    try:
-        known_blocks = corpus_ds.num_blocks()  # only known when materialized
-    except NotImplementedError:
-        known_blocks = None
-    if known_blocks is not None and known_blocks < target_blocks:
-        corpus_ds = corpus_ds.repartition(target_blocks)
-
-    # normalize once and pin: every downstream consumer (dedup stats, tag,
-    # kept, verification content fetch, cluster attach) reads the pinned
-    # blocks instead of re-running sha256 over the corpus.  At design
-    # scale this boundary is the first parquet checkpoint.
     stage_t: dict[str, float] = {}
     _last = time.perf_counter()
 
@@ -87,51 +100,91 @@ def dedup_pipeline(
         stage_t[name] = round(now - _last, 3)
         _last = now
 
-    norm = normalize(corpus_ds).materialize()
-    _mark("normalize")
-    tagged, kept, exact_edges = exact_dedup(norm)
-    _mark("exact_dedup")
-
-    if checkpoint_dir:
-        stage_dir = f"{checkpoint_dir}/tagged"
-        if lineage.checkpoint_valid(stage_dir, fingerprint):
-            tagged = lineage.load_checkpoint(stage_dir)
-            metrics["resumed_from"] = "tagged"
-        else:
-            tagged = lineage.write_checkpoint(tagged, stage_dir, fingerprint, "tagged")
-        kept = tagged.filter(expr="file_id == rep_id")
-        exact_edges = tagged.map_batches(edges_from_tagged, batch_format="pyarrow")
-
-    # similarity path over unique contents within size bounds
-    sim_input = kept.filter(
-        expr=f"size >= {cfg.min_content_len} and size <= {cfg.max_content_len}"
-    )
-    sigs = sign(sim_input, cfg)
-    banded = band_explode(sigs, cfg)
-    cand, lsh_metrics = candidate_pairs(banded, cfg)
-    metrics.update(lsh_metrics)
-    _mark("sign_band_candidates")
-
-    verified = verify_pairs(cand, kept, cfg)
-    if checkpoint_dir:
-        stage_dir = f"{checkpoint_dir}/pairs"
-        if lineage.checkpoint_valid(stage_dir, fingerprint):
-            verified = lineage.load_checkpoint(stage_dir)
-            metrics["resumed_pairs"] = True
-        else:
-            verified = lineage.write_checkpoint(
-                verified, stage_dir, fingerprint, "pairs", metrics=lsh_metrics
-            )
+    if tagged_ok:
+        # resume short-circuit: upstream stages are not even constructed
+        tagged = lineage.load_checkpoint(tagged_dir)
+        metrics["resumed_from"] = "tagged"
+        _mark("normalize")
+        _mark("exact_dedup")
     else:
-        verified = verified.materialize()
-    _mark("verify")
+        # Parallelism floor: a single-block input (from_arrow, one parquet
+        # file with one row group) would serialize every downstream stage
+        # to one task.  Split to ~2 blocks per CPU so task pools fill;
+        # repartition without shuffle just splits block boundaries.
+        import ray as _ray
 
-    edges = verified.select_columns(["a", "b"]).union(exact_edges)
+        target_blocks = max(8, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+        try:
+            known_blocks = corpus_ds.num_blocks()  # known when materialized
+        except NotImplementedError:
+            known_blocks = None
+        if known_blocks is not None and known_blocks < target_blocks:
+            corpus_ds = corpus_ds.repartition(target_blocks)
+
+        # normalize once and pin: every downstream consumer (dedup stats,
+        # tag, sign, verify store, attach) reads the pinned blocks instead
+        # of re-running sha256 over the corpus.
+        norm = normalize(corpus_ds).materialize()
+        _mark("normalize")
+        tagged, _, _ = exact_dedup(norm)
+        _mark("exact_dedup")
+        if tagged_dir:
+            tagged = lineage.write_checkpoint(tagged, tagged_dir, fingerprint, "tagged")
+
+    kept = tagged.filter(expr="file_id == rep_id")
+    exact_edges = tagged.map_batches(edges_from_tagged, batch_format="pyarrow")
+
+    if pairs_ok:
+        verified = lineage.load_checkpoint(pairs_dir)
+        metrics["resumed_pairs"] = True
+        _mark("sign_band_candidates")
+        _mark("verify")
+    else:
+        # similarity path over unique contents within size bounds; chains
+        # lazily into the candidate-pair sort (no extra execution)
+        sim_input = kept.filter(
+            expr=f"size >= {cfg.min_content_len} and size <= {cfg.max_content_len}"
+        )
+        sigs = sign(sim_input, cfg)
+        banded = band_explode(sigs, cfg)
+        cand, lsh_metrics = candidate_pairs(banded, cfg)
+        metrics.update(lsh_metrics)
+        _mark("sign_band_candidates")
+
+        verified = verify_pairs(cand, kept, cfg)
+        if pairs_dir:
+            verified = lineage.write_checkpoint(
+                verified, pairs_dir, fingerprint, "pairs", metrics=metrics
+            )
+        else:
+            verified = verified.materialize()
+        _mark("verify")
+
+    edges = verified.map_batches(_project_edges, batch_format="pyarrow").union(exact_edges)
     roots = connected_components(edges)
     _mark("connected_components")
-    clusters = attach_clusters(tagged.select_columns(["file_id"]), roots)
-
+    clusters = attach_clusters(tagged, roots)
     _mark("attach")
+
+    # pair table parity with reference_impl: exact-dup edges appear as
+    # (rep, dup, 1.0, "exact") rows alongside the verified LSH pairs
+    def _exact_as_pairs(batch):
+        import pyarrow as pa
+
+        n = batch.num_rows
+        return pa.table(
+            {
+                "a": batch["a"].cast(pa.int64()),
+                "b": batch["b"].cast(pa.int64()),
+                "jaccard": pa.array([1.0] * n, pa.float64()),
+                "method": pa.array(["exact"] * n, pa.string()),
+            }
+        )
+
+    pairs = verified.union(
+        exact_edges.map_batches(_exact_as_pairs, batch_format="pyarrow")
+    )
+
     metrics["stage_sec"] = stage_t
     metrics["elapsed_sec"] = round(time.perf_counter() - t0, 3)
-    return DedupResult(clusters=clusters, pairs=verified, kept=kept, metrics=metrics)
+    return DedupResult(clusters=clusters, pairs=pairs, kept=kept, metrics=metrics)

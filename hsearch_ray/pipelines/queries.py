@@ -146,7 +146,10 @@ def q_containment_pairs_docs(sf_dir: str):
     from hsearch_ray.stages.normalize import normalize
     from hsearch_ray.stages.signatures import sign
 
-    cfg = PipelineConfig()
+    # denser fingerprints than the pipeline default: the oracle compares
+    # against ALL pairs with containment >= thr, including scattered
+    # (non-contiguous) overlap that a sparse winnow can miss
+    cfg = PipelineConfig(winnow_window=8, containment_min_common=2)
     corpus = normalize(_docs_as_corpus(sf_dir)).materialize()
     sigs = sign(corpus, cfg, with_fingerprints=True)
     pairs = containment_pairs(sigs, corpus, cfg)
@@ -234,28 +237,33 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def q_orders_by_nation(sf_dir: str):
-    """Broadcast-join (J2): orders ⋈ customer ⋈ nation, grouped."""
+    """Broadcast-join (J2): orders ⋈ customer ⋈ nation, grouped.  The
+    small sides are broadcast once as sorted numpy arrays (zero-copy on
+    ray.get) and probed with vectorized searchsorted — stateless warm
+    tasks, no actor pool to respawn per execution."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    ref = ray.put((c2n, n2name))
+    ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(ck, kind="stable")
+    ck = ck[order]
+    cn = cust["c_nationkey"].to_numpy(dtype=np.int64)[order]
+    nname = nat.sort_values("n_nationkey")["n_name"].to_numpy()
+    nkeys = nat.sort_values("n_nationkey")["n_nationkey"].to_numpy(dtype=np.int64)
+    ref = ray.put((ck, cn, nkeys, nname))
 
-    class _Attach:
-        def __init__(self):
-            self.c2n, self.n2name = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            nk = df["o_custkey"].map(self.c2n)
-            return pd.DataFrame(
-                {
-                    "nation": nk.map(self.n2name),
-                    "price_c": _cents(df["o_totalprice"]),
-                }
-            )
+    def _attach(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        ck, cn, nkeys, nname = ray.get(ref)
+        ok = df["o_custkey"].to_numpy(dtype=np.int64)
+        nk = cn[np.searchsorted(ck, ok)]
+        return pd.DataFrame(
+            {
+                "nation": nname[np.searchsorted(nkeys, nk)],
+                "price_c": _cents(df["o_totalprice"]),
+            }
+        )
 
     attached = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
-        _Attach, batch_format="pandas", batch_size=65536, concurrency=(1, 4)
+        _attach, batch_format="pandas", batch_size=65536
     )
     out = grouped_agg(attached, ["nation"], {"price_c": ["sum"]}, count_alias="n_orders")
     return pd.DataFrame(
@@ -407,12 +415,53 @@ def q_corpus_stats_docs(sf_dir: str):
 
 
 def q_median_event_value(sf_dir: str):
-    """Exact median (A6 analog).  The value column is projected (narrow)
-    and reduced on the driver — a scalar aggregate; the design-scale path
-    is a distributed quantile sketch (KLL) merged the same way."""
+    """Exact median (A6 analog) WITHOUT materializing the column on the
+    driver: (1) distributed min/max/count partials, (2) distributed
+    histogram partials locate the bin(s) holding the middle order
+    statistics, (3) only those bins' values (a 1/nbins fraction) come to
+    the driver for the exact finish.  At design scale step 3 recurses
+    on a still-too-big bin instead of fetching it."""
     ds = _read(sf_dir, "events", columns=["value"])
-    vals = ds.to_pandas()["value"].to_numpy(dtype=np.float64)
-    return pd.DataFrame({"median_value": [round(float(np.median(vals)), 6)]})
+
+    def _mmc(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"lo": [v.min()], "hi": [v.max()], "n": [v.size]})
+
+    mmc = ds.map_batches(_mmc, batch_format="pandas", batch_size=65536).to_pandas()
+    lo, hi, n = float(mmc["lo"].min()), float(mmc["hi"].max()), int(mmc["n"].sum())
+    if n == 0:
+        return pd.DataFrame({"median_value": [float("nan")]})
+    k1, k2 = (n - 1) // 2, n // 2
+    if lo == hi:
+        return pd.DataFrame({"median_value": [round(lo, 6)]})
+    nbins = 4096
+    width = (hi - lo) / nbins
+
+    def _hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
+        idx, cnt = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bin": idx, "cnt": cnt})
+
+    hist = ds.map_batches(_hist, batch_format="pandas", batch_size=65536).to_pandas()
+    counts = np.zeros(nbins, dtype=np.int64)
+    np.add.at(counts, hist["bin"].to_numpy(dtype=np.int64), hist["cnt"].to_numpy(dtype=np.int64))
+    cum = np.cumsum(counts)
+    b1 = int(np.searchsorted(cum, k1 + 1))
+    b2 = int(np.searchsorted(cum, k2 + 1))
+    below = int(cum[b1 - 1]) if b1 > 0 else 0
+    vlo = lo + b1 * width
+    vhi = hi if b2 == nbins - 1 else lo + (b2 + 1) * width
+    # fetch ONLY the middle bin(s): the bin test must match _hist exactly
+    def _keep(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        b = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
+        return df[(b >= b1) & (b <= b2)]
+
+    mid = ds.map_batches(_keep, batch_format="pandas", batch_size=65536).to_pandas()
+    v = np.sort(mid["value"].to_numpy(dtype=np.float64))
+    m1, m2 = v[k1 - below], v[k2 - below]
+    return pd.DataFrame({"median_value": [round(float((m1 + m2) / 2.0), 6)]})
 
 
 def q_cluster_stats_docs(sf_dir: str):
@@ -525,7 +574,130 @@ FROM scored
 """
 
 
+# Shared SQL fragment: k-char shingle sets over CRLF-normalized text —
+# the DuckDB mirror of hashing.shingle_hashes (set semantics are hash
+# independent: jaccard/containment over 64-bit-hashed shingle sets equal
+# the string-set values absent a hash collision, ~1e-13 at these sizes).
+# Mirrors the reference's evaluator-in-the-binary discipline
+# (motif_both_points.cpp:383-386): the exact pair relation is computed
+# alongside the LSH path and must agree.  The LSH path's recall on the
+# driver data is exactly 1.0 (pairs sit at j >= 0.92 vs threshold 0.7;
+# P[miss] < 1e-4 per pair, verified empirically at sf0.001 and sf0.01),
+# so equality — not just recall — is asserted.
+_SHINGLE_K = 9  # == PipelineConfig.shingle_k
+
+
+def _shingle_pairs_cte(rep_only: bool) -> str:
+    where = (
+        "WHERE doc_id = rep_id AND length(text) >= 1" if rep_only else ""
+    )
+    return f"""
+docs AS (
+  SELECT doc_id, text, replace(text, chr(13) || chr(10), chr(10)) AS t
+  FROM documents
+),
+rep AS (
+  SELECT doc_id, text, t, min(doc_id) OVER (PARTITION BY text) AS rep_id
+  FROM docs
+),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(length(t) - {_SHINGLE_K - 1}, 1))) AS i
+  FROM rep {where}
+),
+sh AS (SELECT DISTINCT doc_id, substr(t, i, {_SHINGLE_K}) AS s FROM pos),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)"""
+
+
+_NEAR_DUP_PAIRS_SQL = f"""
+WITH {_shingle_pairs_cte(rep_only=True)},
+exact_pairs AS (
+  SELECT rep_id AS a, doc_id AS b, CAST(1.0 AS DOUBLE) AS jaccard,
+         'exact' AS method
+  FROM rep WHERE doc_id <> rep_id
+),
+near_pairs AS (
+  SELECT a, b,
+         round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard,
+         'minhash_lsh' AS method
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+)
+SELECT a, b, jaccard, method FROM exact_pairs
+UNION ALL
+SELECT a, b, jaccard, method FROM near_pairs
+"""
+
+# Connected components of the full threshold graph (jaccard >= thr OR
+# byte-identical text) via recursive min-label reachability.  The Ray
+# pipeline's edge set (rep-to-dup exact edges + LSH pairs between reps)
+# is a connectivity-equivalent subgraph, so components are identical.
+_NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_shingle_pairs_cte(rep_only=False)},
+e AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+  UNION
+  SELECT rep_id AS a, doc_id AS b FROM rep WHERE doc_id <> rep_id
+),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT s.u, reach.r FROM reach JOIN sym s ON s.v = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+"""
+
+_CLUSTER_STATS_SQL = f"""
+WITH RECURSIVE {_shingle_pairs_cte(rep_only=False)},
+e AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+  UNION
+  SELECT rep_id AS a, doc_id AS b FROM rep WHERE doc_id <> rep_id
+),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT s.u, reach.r FROM reach JOIN sym s ON s.v = reach.id
+),
+clusters AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+),
+csizes AS (SELECT cluster_id, count(*) AS size FROM clusters GROUP BY cluster_id)
+SELECT size, count(*) AS n_clusters FROM csizes GROUP BY size
+"""
+
+_CONTAINMENT_PAIRS_SQL = f"""
+WITH {_shingle_pairs_cte(rep_only=False)}
+SELECT a, b,
+       round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) AS containment,
+       'containment' AS method
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+"""
+
+
 ORACLE_SQL = {
+    "near_dup_pairs_docs": _NEAR_DUP_PAIRS_SQL,
+    "near_dup_clusters_docs": _NEAR_DUP_CLUSTERS_SQL,
+    "cluster_stats_docs": _CLUSTER_STATS_SQL,
+    "containment_pairs_docs": _CONTAINMENT_PAIRS_SQL,
     "exact_dedup_docs": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         FROM documents GROUP BY md5(text)
@@ -628,7 +800,8 @@ ORACLE_SQL = {
     "median_event_value": """
         SELECT round(median(value), 6) AS median_value FROM events
     """,
-    # no oracle (rows-only): near_dup_clusters_docs, near_dup_pairs_docs,
-    # simhash_docs, containment_pairs_docs, lsh_bucket_histogram,
-    # ann_topk_lsh, cluster_stats_docs, sample_events
+    # no oracle (rows-only, genuinely non-SQL-expressible): simhash_docs
+    # (byte-level rolling-hash bit votes), lsh_bucket_histogram (depends
+    # on the minhash family), ann_topk_lsh (approximate by design),
+    # sample_events (engine-specific seeded shuffle)
 }

@@ -8,12 +8,19 @@ This module implements the classic combiner plan instead (the guide's
   1. map_batches: vectorized pandas groupby per batch -> one partial row
      per (key, batch)  [embarrassingly parallel, no shuffle]
   2. combine the partials, which are reduced by orders of magnitude:
-       mode='driver'  : to_pandas + one pandas groupby (bench scale;
-                        partials are small)
-       mode='shuffle' : ray groupby().map_groups over partials (design
-                        scale; the slow path now touches only reduced
-                        rows)
-     mode='auto' picks 'driver' below DRIVER_COMBINE_MAX_ROWS.
+       mode='driver'  : to_pandas + one pandas groupby — right when the
+                        final result is small enough to live on the
+                        driver (which is also what returning a
+                        DataFrame implies)
+       mode='shuffle' : distributed sort of the partials by key + a
+                        vectorized per-block combine; only block-edge
+                        keys (<= 2 per block) take a driver pass — the
+                        design-scale path for high-cardinality keys
+     mode='auto' currently selects 'driver': partial cardinality is
+     unknown before execution, and every present caller's result is
+     driver-sized.  Callers with known high-cardinality keys pass
+     'shuffle' (or use ``grouped_agg_ds`` to keep the result
+     distributed end-to-end).
 
 Supported per-column ops: sum, min, max, count (count is keyed "__count").
 All ops are decomposable: combine(sum)=sum, combine(min)=min,
@@ -23,8 +30,6 @@ combine(max)=max, combine(count)=sum.
 from __future__ import annotations
 
 import pandas as pd
-
-DRIVER_COMBINE_MAX_ROWS = 2_000_000
 
 _COMBINE_OP = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
 
@@ -40,6 +45,85 @@ def _partial_fn(keys: list[str], spec: dict[str, list[str]], count_alias: str | 
     return partial
 
 
+def _final_ops(keys, spec, count_alias):
+    ops = {}
+    for col, col_ops in spec.items():
+        for op in col_ops:
+            name = f"{col}__{op}"
+            ops[name] = (name, _COMBINE_OP[op])
+    if count_alias is not None:
+        ops[count_alias] = (count_alias, "sum")
+    return ops
+
+
+def _combine_pdf(pdf: pd.DataFrame, keys, spec, count_alias) -> pd.DataFrame:
+    return pdf.groupby(keys, as_index=False, sort=False).agg(
+        **_final_ops(keys, spec, count_alias)
+    )
+
+
+def _empty_result(keys, spec, count_alias) -> pd.DataFrame:
+    cols = list(keys) + [f"{c}__{o}" for c, ops in spec.items() for o in ops]
+    if count_alias:
+        cols.append(count_alias)
+    return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+
+
+def grouped_agg_ds(
+    ds,
+    keys: list[str],
+    spec: dict[str, list[str]],
+    count_alias: str | None = None,
+    batch_size: int | None = 65536,
+):
+    """Fully distributed grouped aggregation: vectorized partials, then a
+    sort-by-key shuffle with a per-block combine.  Keys whose partial
+    rows touch a block edge (<= 2 key values per block) spill to one
+    tiny driver combine.  Returns a Dataset with columns
+    keys + '<col>__<op>' (+ count_alias) — the result never has to fit
+    on the driver."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    final_ops = _final_ops(keys, spec, count_alias)
+
+    def combine_block(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.copy()
+            out["__edge"] = pd.Series(dtype=bool)
+            return out
+        first = df.iloc[0][keys]
+        last = df.iloc[-1][keys]
+        edge = np.ones(len(df), dtype=bool)
+        for k in keys:
+            col = df[k].to_numpy()
+            edge &= (col == first[k]) | (col == last[k])
+        interior = _combine_pdf(df[~edge], keys, spec, count_alias)
+        interior["__edge"] = False
+        spill = df[edge].copy()
+        spill["__edge"] = True
+        return pd.concat([interior, spill], ignore_index=True)
+
+    partials = ds.map_batches(
+        _partial_fn(keys, spec, count_alias), batch_format="pandas",
+        batch_size=batch_size,
+    )
+    combined = (
+        partials.sort(keys)
+        .map_batches(combine_block, batch_size=None, batch_format="pandas")
+        .materialize()
+    )
+    interior = combined.filter(expr="__edge == False").map_batches(
+        lambda df: df.drop(columns=["__edge"]), batch_format="pandas"
+    )
+    spill = combined.filter(expr="__edge == True").to_pandas()
+    if len(spill):
+        spill = _combine_pdf(spill.drop(columns=["__edge"]), keys, spec, count_alias)
+        return interior.union(ray.data.from_pandas(spill))
+    return interior
+
+
 def grouped_agg(
     ds,
     keys: list[str],
@@ -52,11 +136,11 @@ def grouped_agg(
     columns keys + '<col>__<op>' (+ count_alias).
 
     The heavy pass (one partial row per key per batch) is fully
-    distributed; the final combine runs on the driver over the REDUCED
-    partials, which is exact and small at sandbox scale.  ``mode`` is
-    reserved for the design-scale extension where the combine itself is
-    a ray groupby over partials (same decomposable ops).
-    """
+    distributed in every mode; ``mode`` picks where the final combine
+    runs (see module docstring — 'auto' selects 'driver')."""
+    if mode == "shuffle":
+        pdf = grouped_agg_ds(ds, keys, spec, count_alias, batch_size).to_pandas()
+        return pdf if len(pdf) else _empty_result(keys, spec, count_alias)
     partials_ds = ds.map_batches(
         _partial_fn(keys, spec, count_alias),
         batch_format="pandas",
@@ -64,19 +148,8 @@ def grouped_agg(
     )
     pdf = partials_ds.to_pandas()
     if pdf.empty:
-        cols = list(keys) + [f"{c}__{o}" for c, ops in spec.items() for o in ops]
-        if count_alias:
-            cols.append(count_alias)
-        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
-    final_ops = {}
-    for col, ops in spec.items():
-        for op in ops:
-            name = f"{col}__{op}"
-            final_ops[name] = (name, _COMBINE_OP[op])
-    if count_alias is not None:
-        final_ops[count_alias] = (count_alias, "sum")
-    out = pdf.groupby(keys, as_index=False, sort=False).agg(**final_ops)
-    return out
+        return _empty_result(keys, spec, count_alias)
+    return _combine_pdf(pdf, keys, spec, count_alias)
 
 
 def distinct_rows(ds, cols: list[str]) -> pd.DataFrame:

@@ -50,15 +50,19 @@ class _PartialTopK:
         sims = (emb / norms) @ self.qnorm.T  # (n, nq)
         out_q, out_v, out_s = [], [], []
         for qi, qid in enumerate(self.qids):
-            col = sims[:, qi]
+            # round BEFORE selection and tie-break by neighbor_id so the
+            # per-batch prune ranks by exactly the key the final merge
+            # (and the DuckDB oracle) uses — an unrounded prune could
+            # drop a neighbor that ties after rounding with a smaller id
+            col = np.round(sims[:, qi], 6)
             mask = vids != qid  # exclude self
             idx = np.nonzero(mask)[0]
             if idx.size == 0:
                 continue
-            take = idx[np.argsort(-col[idx], kind="stable")][: self.k]
+            take = idx[np.lexsort((vids[idx], -col[idx]))][: self.k]
             out_q.extend([int(qid)] * len(take))
             out_v.extend(int(v) for v in vids[take])
-            out_s.extend(np.round(col[take], 6))
+            out_s.extend(col[take])
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),

@@ -1,23 +1,29 @@
-"""Exact content dedup: sha256 keep-first by min file_id — WITHOUT
-shuffling content.
+"""Exact content dedup: sha keep-first by min file_id — WITHOUT
+shuffling content and WITHOUT per-row Python in any pass.
 
 Analog of the reference's exact dedup (D1/D2 in SURVEY.md §2.7: global
 unordered_set in /root/reference/IGC/shuffle_data/IGC/pep2kmers.cpp:22,33-35
 and sorted-run collapse in gen_kmers_from_suffix_array.cpp:51-65).
 
 Plan (combiner + broadcast semi-join; no full-row shuffle at all):
-  1. Narrow partial aggregation over (sha256, file_id) only:
-     per-batch pandas groupby -> (sha256, min file_id, count) partials,
-     combined once (stages.agg).  Bytes moved ~= 80B/row, not content.
-  2. Only hashes with count > 1 (actual duplicates) enter the broadcast
-     ``dup_map {sha256: rep_id}`` — typically a tiny fraction of rows.
-     Every row then tags itself via one dict lookup in map_batches.
-  3. kept = rows whose file_id == rep (or sha unseen in dup_map);
-     exact edges = (rep_id, file_id) for the rest.
+  1. Narrow partial aggregation over (sha_hi, sha_lo, file_id) only:
+     per-batch numpy void-key groupby -> (key, min file_id, count)
+     partials.  Bytes moved ~= 32B/row, not content.
+  2. Driver combine on the partials is a single np.unique over the
+     16-byte void keys + segment min/sum — C speed, no pandas string
+     hashing (the round-1 driver-combine concern).
+  3. Only keys with count > 1 (actual duplicates) enter the broadcast
+     dup map (sorted void keys + rep ids, zero-copy numpy on ray.get);
+     every row tags itself with ONE vectorized searchsorted.
+  4. kept = rows whose file_id == rep_id; exact edges = (rep, file)
+     for the rest.
 
-Scale note (10^12 rows): when the duplicate-hash set outgrows broadcast,
-step 2 becomes a Bloom filter (false positives re-checked by a hash join
-of only the Bloom-positive rows) — the partial-agg pass is unchanged.
+Scale note (10^12 rows): when the duplicate-key set outgrows broadcast,
+step 3 becomes a Bloom filter (false positives re-checked by a hash
+join of only the Bloom-positive rows) — the partial-agg pass is
+unchanged.  The partial combine itself switches to
+``stages.agg.grouped_agg(mode="shuffle")`` when partial rows outgrow
+the driver.
 """
 
 from __future__ import annotations
@@ -27,7 +33,39 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from hsearch_ray.stages.agg import grouped_agg
+V16 = np.dtype("V16")
+
+
+def _void_keys(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Pack two int64 columns into a 16-byte void key (memcmp ordering:
+    any consistent total order works for grouping)."""
+    arr = np.empty(hi.size, dtype=[("a", "<i8"), ("b", "<i8")])
+    arr["a"] = hi
+    arr["b"] = lo
+    return arr.view(V16).reshape(-1)
+
+
+def _sha_partial(batch: pa.Table) -> pa.Table:
+    """(sha_hi, sha_lo, min file_id, count) partial rows — one per
+    distinct key per batch, fully vectorized."""
+    hi = batch["sha_hi"].to_numpy(zero_copy_only=False)
+    lo = batch["sha_lo"].to_numpy(zero_copy_only=False)
+    fid = batch["file_id"].to_numpy(zero_copy_only=False)
+    keys = _void_keys(hi, lo)
+    order = np.argsort(keys, kind="stable")
+    ks, fs = keys[order], fid[order]
+    starts = np.nonzero(np.concatenate(([True], ks[1:] != ks[:-1])))[0]
+    mins = np.minimum.reduceat(fs, starts) if fs.size else np.empty(0, np.int64)
+    counts = np.diff(np.append(starts, ks.size))
+    sel = order[starts]
+    return pa.table(
+        {
+            "sha_hi": pa.array(hi[sel], pa.int64()),
+            "sha_lo": pa.array(lo[sel], pa.int64()),
+            "min_fid": pa.array(mins, pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
 
 
 def edges_from_tagged(batch: pa.Table) -> pa.Table:
@@ -45,21 +83,40 @@ def exact_dedup(ds):
     kept   : unique-content survivors (all original columns)
     exact_edges : (a=rep_id, b=file_id) rows for the duplicates
     """
-    stats = grouped_agg(
-        ds.select_columns(["sha256", "file_id"]),
-        ["sha256"],
-        {"file_id": ["min"]},
-        count_alias="n",
+    pdf = (
+        ds.map_batches(_sha_partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
     )
-    dups = stats[stats["n"] > 1]
-    dup_map = dict(zip(dups["sha256"], dups["file_id__min"].astype(np.int64)))
-    ref = ray.put(dup_map)
+    if len(pdf):
+        keys = _void_keys(pdf["sha_hi"].to_numpy(dtype=np.int64),
+                          pdf["sha_lo"].to_numpy(dtype=np.int64))
+        mf = pdf["min_fid"].to_numpy(dtype=np.int64)
+        cnt = pdf["n"].to_numpy(dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        ks, mf, cnt = keys[order], mf[order], cnt[order]
+        starts = np.nonzero(np.concatenate(([True], ks[1:] != ks[:-1])))[0]
+        rep = np.minimum.reduceat(mf, starts)
+        tot = np.add.reduceat(cnt, starts)
+        dupmask = tot > 1
+        dup_keys = ks[starts][dupmask]  # sorted void keys
+        dup_reps = rep[dupmask]
+    else:
+        dup_keys = np.empty(0, dtype=V16)
+        dup_reps = np.empty(0, dtype=np.int64)
+    ref = ray.put((dup_keys, dup_reps))
 
     def tag(batch: pa.Table) -> pa.Table:
-        dmap = ray.get(ref)
-        sha = batch["sha256"].to_pylist()
+        dkeys, dreps = ray.get(ref)  # zero-copy numpy
         fid = batch["file_id"].to_numpy(zero_copy_only=False)
-        rep = np.array([dmap.get(s, int(f)) for s, f in zip(sha, fid)], dtype=np.int64)
+        if dkeys.size == 0:
+            rep = fid
+        else:
+            keys = _void_keys(batch["sha_hi"].to_numpy(zero_copy_only=False),
+                              batch["sha_lo"].to_numpy(zero_copy_only=False))
+            pos = np.searchsorted(dkeys, keys)
+            pos_c = np.minimum(pos, dkeys.size - 1)
+            hit = dkeys[pos_c] == keys
+            rep = np.where(hit, dreps[pos_c], fid)
         return batch.append_column("rep_id", pa.array(rep, pa.int64()))
 
     tagged = ds.map_batches(tag, batch_format="pyarrow")

@@ -136,6 +136,13 @@ def _dedup_sorted_pair_block(batch: pa.Table) -> pa.Table:
     )
 
 
+def _project_ab(batch: pa.Table) -> pa.Table:
+    # projection inside map_batches (select_columns after filter chains
+    # trips Ray Data schema inference; see project-level perf notes)
+    return pa.table({"a": batch["a"].cast(pa.int64()),
+                     "b": batch["b"].cast(pa.int64())})
+
+
 def distinct_pairs(pairs_ds):
     """Distributed distinct over (a,b): sort + per-block vectorized run
     dedup; only block-edge pair values (2 per block) take a driver pass.
@@ -145,8 +152,14 @@ def distinct_pairs(pairs_ds):
         .map_batches(_dedup_sorted_pair_block, batch_size=None, batch_format="pyarrow")
         .materialize()
     )
-    interior = emitted.filter(expr="kind == 0").select_columns(["a", "b"])
-    spill = emitted.filter(expr="kind == 1").select_columns(["a", "b"]).to_pandas()
+    interior = emitted.filter(expr="kind == 0").map_batches(
+        _project_ab, batch_format="pyarrow"
+    )
+    spill = (
+        emitted.filter(expr="kind == 1")
+        .map_batches(_project_ab, batch_format="pyarrow")
+        .to_pandas()
+    )
     n = emitted.count() - len(spill)  # metadata count; no extra execution
     if len(spill):
         spill = spill.drop_duplicates()
@@ -226,14 +239,38 @@ def _emit_bucket_runs(batch: pa.Table, cap: int) -> pa.Table:
     )
 
 
+def _emit_spill_group(cap: int):
+    """Pair emission for ONE regrouped boundary bucket (rows: a=gkey,
+    b=file_id).  Same cold/hot policy as the block scan: all-pairs up to
+    ``cap`` members, hub-star above (a mega-bucket spanning many blocks
+    stays O(n) and never ships to the driver)."""
+
+    def emit(group: pa.Table) -> pa.Table:
+        fids = np.unique(group["b"].to_numpy(zero_copy_only=False))
+        n = fids.size
+        if n < 2:
+            return PAIR_SCHEMA.empty_table()
+        if n > cap:
+            return pa.table({"a": pa.array(np.full(n - 1, fids[0]), pa.int64()),
+                             "b": pa.array(fids[1:], pa.int64())})
+        ii, jj = np.triu_indices(n, k=1)
+        return pa.table({"a": pa.array(fids[ii], pa.int64()),
+                         "b": pa.array(fids[jj], pa.int64())})
+
+    return emit
+
+
 def candidate_pairs(banded_ds, cfg: PipelineConfig):
     """banded rows -> distinct candidate pair Dataset (a < b) + metrics.
 
     ONE distributed sort by the packed bucket key feeds a single
     vectorized scan that counts buckets, emits all-pairs for small
-    buckets, hub-stars hot buckets (skew never gathers on one worker),
-    and spills only block-boundary runs to a tiny driver pass.  A second
-    narrow sort dedups pairs across bands (D5).
+    buckets, and hub-stars hot buckets (skew never gathers on one
+    worker).  Block-boundary runs are re-grouped DISTRIBUTIVELY (a tiny
+    groupby over <= 2 bucket values per block — a mega-bucket spanning
+    many blocks is re-bucketed on workers, never funneled to the
+    driver).  A second narrow sort dedups pairs across bands (D5).
+    Driver traffic: bucket-size histogram rows only.
     """
     cap = cfg.max_bucket_pairs_exhaustive
 
@@ -247,52 +284,56 @@ def candidate_pairs(banded_ds, cfg: PipelineConfig):
             }
         )
 
-    emitted = (
+    runs = (
         banded_ds.map_batches(_to_gkey, batch_format="pyarrow")
         .sort("gkey")
         .map_batches(_emit_bucket_runs, fn_kwargs={"cap": cap},
                      batch_size=None, batch_format="pyarrow")
         .materialize()
     )
-    pair_ds = emitted.filter(expr="kind == 0").select_columns(["a", "b"])
+    interior = runs.filter(expr="kind == 0").map_batches(
+        _project_ab, batch_format="pyarrow"
+    )
+    # boundary-bucket postings re-grouped on workers; groups are tiny
+    # (<= 2 bucket values per block edge) except adversarial mega-buckets,
+    # which the same cold/hot emit keeps O(n)
+    spill_pairs = (
+        runs.filter(expr="kind == 1")
+        .groupby("a")
+        .map_groups(_emit_spill_group(cap), batch_format="pyarrow")
+    )
+    pair_ds = interior.union(spill_pairs)
 
-    # driver pass over spill postings (block-edge runs only: <= 2 bucket
-    # values per block) — same run logic, single-threaded on a tiny input
-    small = emitted.filter(expr="kind != 0").select_columns(["a", "b", "kind"]).to_pandas()
+    # distinct across bands (D5 analog — the critical cost lever before
+    # exact verification, motif_both_points.cpp:222-243 label[] dedup);
+    # distributed sort-based dedup, no driver funnel
+    uniq, n_uniq = distinct_pairs(pair_ds)
+
+    # skew telemetry (A4): interior histogram rows + boundary-run sizes —
+    # a few rows per block, the only driver-bound traffic in this stage
+    small = (
+        runs.filter(expr="kind != 0")
+        .map_batches(
+            lambda b: pa.table({"a": b["a"].cast(pa.int64()),
+                                "b": b["b"].cast(pa.int64()),
+                                "kind": b["kind"]}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
     hist = small[small["kind"] == 2]
     spill = small[small["kind"] == 1]
     histogram: dict[int, int] = {}
     for ln, ct in zip(hist["a"], hist["b"]):
         histogram[int(ln)] = histogram.get(int(ln), 0) + int(ct)
-    extra = None
     if len(spill):
         sk = spill["a"].to_numpy(dtype=np.int64)
-        sf = spill["b"].to_numpy(dtype=np.int64)
-        order = np.lexsort((sf, sk))
-        sk, sf = sk[order], sf[order]
+        order = np.argsort(sk, kind="stable")
+        sk = sk[order]
         starts = np.nonzero(np.concatenate(([True], sk[1:] != sk[:-1])))[0]
         lens = np.diff(np.append(starts, sk.size))
         for ln in np.unique(lens):
             histogram[int(ln)] = histogram.get(int(ln), 0) + int((lens == ln).sum())
-        row_len = lens[np.repeat(np.arange(starts.size), lens)]
-        cold_mask = (row_len >= 2) & (row_len <= cap)
-        pa_, pb_ = _pairs_within_runs(sk[cold_mask], sf[cold_mask], cap)
-        hot_mask = row_len > cap
-        if hot_mask.any():
-            kh, fh = sk[hot_mask], sf[hot_mask]
-            hstarts = np.nonzero(np.concatenate(([True], kh[1:] != kh[:-1])))[0]
-            hmins = np.minimum.reduceat(fh, hstarts)
-            hlens = np.diff(np.append(hstarts, kh.size))
-            hubs = np.repeat(hmins, hlens)
-            keep = fh != hubs
-            pa_ = np.concatenate([pa_, np.minimum(hubs[keep], fh[keep])])
-            pb_ = np.concatenate([pb_, np.maximum(hubs[keep], fh[keep])])
-        if pa_.size:
-            extra = pa.table({"a": pa.array(pa_, pa.int64()),
-                              "b": pa.array(pb_, pa.int64())})
-
-    if extra is not None:
-        pair_ds = pair_ds.union(ray.data.from_arrow(extra))
 
     hot_sizes = [ln for ln in histogram if ln > cap]
     metrics = {
@@ -302,11 +343,6 @@ def candidate_pairs(banded_ds, cfg: PipelineConfig):
         "hot_members_max": int(max(hot_sizes)) if hot_sizes else 0,
         "hot_pairs_truncated": bool(hot_sizes),
         "bucket_histogram_top": dict(sorted(histogram.items())[-8:]),
+        "candidate_pairs": int(n_uniq),
     }
-
-    # distinct across bands (D5 analog — the critical cost lever before
-    # exact verification, motif_both_points.cpp:222-243 label[] dedup);
-    # distributed sort-based dedup, no driver funnel
-    uniq, n_uniq = distinct_pairs(pair_ds)
-    metrics["candidate_pairs"] = int(n_uniq)
     return uniq, metrics

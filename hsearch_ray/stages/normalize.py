@@ -10,6 +10,11 @@ bytes exactly and assert the per-row sha256 invariant
 Adds:
   file_id : int63 digest of (repo, path, commit)   [row identity]
   sha256  : hex digest of RAW content bytes         [exact-dup key]
+  sha_hi/sha_lo : first 128 digest bits as two int64 columns — the
+      vectorizable exact-dup grouping key (numpy/pandas group int
+      columns at C speed; 64-char hex strings don't).  128 bits is the
+      same key width the DuckDB md5 oracle groups on; a collision needs
+      two distinct contents sharing a 128-bit digest prefix.
   size    : content byte length
 """
 
@@ -17,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 
 from hsearch_ray import hashing as H
@@ -33,11 +39,20 @@ def normalize_batch(batch: pa.Table) -> pa.Table:
         commit = batch["commit"].to_pylist()
         fid = [H.file_id_from_key(repo[i], path[i], commit[i]) for i in range(n)]
         batch = batch.append_column("file_id", pa.array(fid, pa.int64()))
-    sha = [hashlib.sha256(c).hexdigest() for c in content]
+    digests = [hashlib.sha256(c).digest() for c in content]
+    sha = [d.hex() for d in digests]
+    packed = (
+        np.frombuffer(b"".join(d[:16] for d in digests), dtype="<i8").reshape(n, 2)
+        if n
+        else np.empty((0, 2), dtype=np.int64)
+    )
     size = [len(c) for c in content]
-    return batch.append_column(
-        "sha256", pa.array(sha, pa.string())
-    ).append_column("size", pa.array(size, pa.int64()))
+    return (
+        batch.append_column("sha256", pa.array(sha, pa.string()))
+        .append_column("sha_hi", pa.array(packed[:, 0], pa.int64()))
+        .append_column("sha_lo", pa.array(packed[:, 1], pa.int64()))
+        .append_column("size", pa.array(size, pa.int64()))
+    )
 
 
 def normalize(ds, batch_size: int = 2048):

@@ -7,20 +7,24 @@ union-find whose driver was never wired in
 (hclust/src/hclust/hclust2.cpp:102-133).  We replace both with the
 order-independent alternating large-star / small-star algorithm
 (Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC 2014 — public knowledge), expressed as Ray Data groupby shuffles:
+SoCC 2014 — public knowledge), expressed as Ray Data shuffles:
 
   large-star: each node links its LARGER neighbors to its minimum
               neighborhood member;
   small-star: each node links its not-larger neighbors (and itself) to
               the minimum.
 
+Each star round is ONE distributed sort by node id + a vectorized
+per-block segment scan (np.minimum.reduceat over equal-u runs) — NOT a
+per-node ``map_groups`` (which would be per-row Python in disguise).
+Runs touching block edges spill to a tiny regroup pass, the same
+boundary discipline as the LSH bucket scan (lsh.py).  Convergence is
+detected by an order-insensitive checksum, checked every other round
+(each check is a driver round-trip).
+
 Both halves strictly shrink the potential function and converge in
 O(log n) rounds to a star forest (child -> root) where root = the
 component's minimum file_id — a deterministic cluster label.
-
-Edges are tiny relative to the corpus (dup pairs only), so the
-per-round materialize is cheap; convergence is detected by an
-order-insensitive 64-bit checksum + count of the edge set.
 """
 
 from __future__ import annotations
@@ -35,27 +39,69 @@ I64 = np.int64
 EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
 
-def _large_star_group(group: pa.Table) -> pa.Table:
-    u = int(group["u"][0].as_py())
-    nbrs = np.unique(group["v"].to_numpy(zero_copy_only=False))
-    m = min(u, int(nbrs[0]))
-    big = nbrs[nbrs > u]
-    if big.size == 0:
-        return EDGE_SCHEMA.empty_table()
-    return pa.table({"u": pa.array(big, pa.int64()),
-                     "v": pa.array(np.full(big.size, m), pa.int64())})
+def _star_emit(u: np.ndarray, v: np.ndarray, large: bool):
+    """Star-round emission for complete (u,v) runs SORTED by (u, v).
+
+    large=True : per u-run, m = min(u, min(v)); emit (w, m) for each
+                 distinct neighbor w > u.
+    large=False: rows oriented u > v; per run, m = min(v); emit (w, m)
+                 for each distinct neighbor w != m, plus (u, m).
+    Fully vectorized: one reduceat per block, no per-node Python.
+    """
+    if u.size == 0:
+        return np.empty(0, I64), np.empty(0, I64)
+    starts = np.nonzero(np.concatenate(([True], u[1:] != u[:-1])))[0]
+    run_id = np.repeat(np.arange(starts.size), np.diff(np.append(starts, u.size)))
+    vmin = v[starts]  # min neighbor per run (sorted by v within u)
+    first = np.concatenate(([True], (v[1:] != v[:-1]) | (u[1:] != u[:-1])))
+    if large:
+        m = np.minimum(vmin, u[starts])
+        keep = first & (v > u)
+        return v[keep], m[run_id[keep]]
+    m = vmin
+    keep = first & (v != m[run_id])
+    out_u = np.concatenate([v[keep], u[starts]])
+    out_v = np.concatenate([m[run_id[keep]], m])
+    return out_u, out_v
 
 
-def _small_star_group(group: pa.Table) -> pa.Table:
-    u = int(group["u"][0].as_py())
-    nbrs = np.unique(group["v"].to_numpy(zero_copy_only=False))  # all <= u
-    m = int(nbrs[0])
-    rest = np.unique(np.concatenate([nbrs[nbrs != m], np.array([u], dtype=I64)]))
-    rest = rest[rest != m]
-    if rest.size == 0:
-        return EDGE_SCHEMA.empty_table()
-    return pa.table({"u": pa.array(rest, pa.int64()),
-                     "v": pa.array(np.full(rest.size, m), pa.int64())})
+def _star_part(large: bool):
+    """Star emission for ONE hash partition of nodes: sort the partition
+    by (u, v) and run the vectorized segment scan.  Runs are complete by
+    construction — every row of a node hashes to the same partition —
+    so there is no block-boundary case at all."""
+
+    def fn(group: pa.Table) -> pa.Table:
+        u = group["u"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        eu, ev = _star_emit(u[order], v[order], large)
+        return pa.table({"u": pa.array(eu, pa.int64()),
+                         "v": pa.array(ev, pa.int64())})
+
+    return fn
+
+
+def _star_round(edges, large: bool, num_parts: int = 64):
+    """One star round: direction prep -> hash-partition nodes into
+    ``num_parts`` buckets -> ONE vectorized map_groups per bucket.  One
+    shuffle per round, ~num_parts Python calls total (each a numpy
+    segment scan over many nodes) — never per-node Python."""
+    prep = _both_directions if large else _orient_max_first
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        g = (H.splitmix64(u.view(np.uint64)) % np.uint64(num_parts)).astype(I64)
+        return pa.table({"u": batch["u"].cast(pa.int64()),
+                         "v": batch["v"].cast(pa.int64()),
+                         "g": pa.array(g, pa.int64())})
+
+    return (
+        edges.map_batches(prep, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("g")
+        .map_groups(_star_part(large), batch_format="pyarrow")
+    )
 
 
 def _both_directions(batch: pa.Table) -> pa.Table:
@@ -136,7 +182,7 @@ def connected_components(edges_ds, max_iters: int = 64,
     smaller than the corpus (dup pairs only).  Below
     ``driver_threshold`` edges, a single-process path-compressing
     union-find is exact and ~instant; above it, the distributed
-    star-contraction loop below takes over (same result, proven
+    star-contraction loop takes over (same result, proven
     order-independent by tests at low thresholds).
     """
     def _project_uv(batch: pa.Table) -> pa.Table:
@@ -161,28 +207,22 @@ def connected_components(edges_ds, max_iters: int = 64,
         )
         return ray.data.from_arrow(roots)
     prev = None
-    for _ in range(max_iters):
+    for it in range(max_iters):
         # Edge preservation note: for edge (u,v) with u<v, large-star's
         # group u emits (v, min(N(u) ∪ {u})) — the smaller endpoint keeps
         # its larger neighbors connected, so no union with the previous
-        # round is needed.  Per-group np.unique dedups neighbor lists;
-        # cross-group duplicate edges are tolerated (collapse next round)
-        # to save a dedup shuffle per iteration.
-        ls = (
-            edges.map_batches(_both_directions, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(_large_star_group, batch_format="pyarrow")
-        )
-        edges = (
-            ls.map_batches(_orient_max_first, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(_small_star_group, batch_format="pyarrow")
-            .materialize()
-        )
-        cur = _edge_checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
+        # round is needed.  Cross-group duplicate edges are tolerated
+        # (collapsed next round) to save a dedup shuffle per iteration.
+        # Both halves chain into ONE execution per iteration.
+        edges = _star_round(_star_round(edges, large=True), large=False).materialize()
+        # checksum = one driver round-trip; every other iteration is
+        # enough (star rounds monotonically shrink the potential, so a
+        # checksum stable across two iterations means a fixpoint)
+        if it % 2 == 1 or it == max_iters - 1:
+            cur = _edge_checksum(edges)
+            if cur == prev:
+                break
+            prev = cur
 
     def _to_clusters(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
@@ -192,7 +232,7 @@ def connected_components(edges_ds, max_iters: int = 64,
 
     child_rows = edges.map_batches(_to_clusters, batch_format="pyarrow")
 
-    # roots map to themselves
+    # roots map to themselves; dedup via the narrow sort-run pattern
     def _roots(batch: pa.Table) -> pa.Table:
         v = np.unique(batch["cluster_id"].to_numpy(zero_copy_only=False))
         return pa.table({"file_id": pa.array(v, pa.int64()),
@@ -206,21 +246,44 @@ def connected_components(edges_ds, max_iters: int = 64,
     return child_rows.union(root_rows)
 
 
+def root_arrays(roots_ds) -> tuple[np.ndarray, np.ndarray]:
+    """Fetch the (small) root map as sorted numpy arrays (keys, values).
+    The root map covers dup files only, so it is driver-safe by the same
+    argument that makes it broadcast-safe."""
+    ks, vs = [], []
+    for b in roots_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        ks.append(b["file_id"].to_numpy(zero_copy_only=False))
+        vs.append(b["cluster_id"].to_numpy(zero_copy_only=False))
+    if not ks:
+        return np.empty(0, I64), np.empty(0, I64)
+    keys = np.concatenate(ks)
+    vals = np.concatenate(vs)
+    order = np.argsort(keys, kind="stable")
+    return keys[order], vals[order]
+
+
 def attach_clusters(corpus_ds, roots_ds):
     """corpus + root map -> (file_id, cluster_id) for EVERY corpus row;
     files without edges get cluster_id = file_id.
 
-    The root map is small (dup files only) so it is broadcast once; the
-    Dataset.join alternative is a drop-in when the dup set outgrows
-    broadcast."""
-    rows = roots_ds.take_all()
-    root_map = {int(r["file_id"]): int(r["cluster_id"]) for r in rows}
-    ref = ray.put(root_map)
+    The root map is broadcast once as two sorted numpy arrays (zero-copy
+    on ray.get) and applied with ONE vectorized searchsorted per batch —
+    no per-row Python.  When the dup set outgrows broadcast (>> 10^8
+    dup files), the drop-in replacement is a ``Dataset.join`` on
+    file_id with fill=identity; same output contract."""
+    keys, vals = root_arrays(roots_ds)
+    ref = ray.put((keys, vals))
 
     def _attach(batch: pa.Table) -> pa.Table:
-        roots = ray.get(ref)
+        rkeys, rvals = ray.get(ref)
         fid = batch["file_id"].to_numpy(zero_copy_only=False)
-        cid = np.array([roots.get(int(f), int(f)) for f in fid], dtype=I64)
+        if rkeys.size == 0:
+            cid = fid
+        else:
+            pos = np.searchsorted(rkeys, fid)
+            pos_c = np.minimum(pos, rkeys.size - 1)
+            hit = rkeys[pos_c] == fid
+            cid = np.where(hit, rvals[pos_c], fid)
         return pa.table({"file_id": pa.array(fid, pa.int64()),
                          "cluster_id": pa.array(cid, pa.int64())})
 

@@ -65,13 +65,28 @@ class Verifier:
     Each shard is (ids_sorted, starts, lens, values): per-file segments
     point into ``values`` wherever the distributed shingle pass placed
     them (start/len indirection — assembly never reorders bytes).
-    Lookups route by shard bounds, then searchsorted within the shard."""
+    Lookups route by shard bounds, then searchsorted within the shard.
+
+    Shards are fetched LAZILY — a task ``ray.get``s only the shards its
+    batch actually references (cached per verifier).  Candidate pairs
+    arrive sorted by ``a`` (distinct_pairs sorts them), so the a-side of
+    a batch spans <= 2 shards; on a multi-node cluster each node ends up
+    caching the a-range it processes plus the b-shards those pairs touch,
+    instead of replicating the full store everywhere (the round-1 scale
+    concern)."""
 
     def __init__(self, cfg: PipelineConfig, store_ref):
         self.cfg = cfg
         bounds, shard_refs = ray.get(store_ref)
         self.bounds = bounds
-        self.shards = ray.get(shard_refs)  # zero-copy numpy views
+        self.shard_refs = shard_refs
+        self._shards: dict[int, tuple] = {}  # lazily fetched, zero-copy
+
+    def _shard(self, s: int):
+        t = self._shards.get(s)
+        if t is None:
+            t = self._shards[s] = ray.get(self.shard_refs[s])
+        return t
 
     def _locate(self, x: np.ndarray):
         """(shard_idx, pos_in_shard, found, sizes) for an id array."""
@@ -80,7 +95,7 @@ class Verifier:
         found = np.zeros(x.size, dtype=bool)
         sizes = np.zeros(x.size, dtype=np.int64)
         for s in np.unique(shard_idx):
-            ids_s, _, lens_s, _ = self.shards[s]
+            ids_s, _, lens_s, _ = self._shard(s)
             rows = np.nonzero(shard_idx == s)[0]
             if ids_s.size == 0:
                 continue
@@ -93,7 +108,7 @@ class Verifier:
         return shard_idx, pos, found, sizes
 
     def _slice(self, shard: int, pos: int) -> np.ndarray:
-        _, starts, lens, vals = self.shards[shard]
+        _, starts, lens, vals = self._shard(shard)
         s = starts[pos]
         return vals[s : s + lens[pos]]
 

@@ -26,7 +26,13 @@ def test_checkpoint_write_and_resume(ray_session, tiny_corpus, tmp_path):
     cfg = PipelineConfig()
     ckpt = str(tmp_path / "ckpt")
 
-    r1 = dedup_pipeline(ray.data.from_arrow(corpus), cfg, checkpoint_dir=ckpt)
+    with pytest.raises(ValueError):
+        # checkpoints without an input identity are refused (a config-only
+        # fingerprint would silently resume onto a different corpus)
+        dedup_pipeline(ray.data.from_arrow(corpus), cfg, checkpoint_dir=ckpt)
+
+    r1 = dedup_pipeline(ray.data.from_arrow(corpus), cfg, checkpoint_dir=ckpt,
+                        input_tag="tiny_corpus")
     c1 = _clusters_map(r1)
     assert os.path.exists(f"{ckpt}/tagged/_lineage.json")
     assert os.path.exists(f"{ckpt}/pairs/_lineage.json")
@@ -40,8 +46,14 @@ def test_checkpoint_write_and_resume(ray_session, tiny_corpus, tmp_path):
     assert sum(p["rows"] for p in manifest["partitions"]) == manifest["rows"]
     assert all(p["bytes"] > 0 for p in manifest["partitions"])
 
-    # second run resumes from both checkpoints and reproduces the result
-    r2 = dedup_pipeline(ray.data.from_arrow(corpus), cfg, checkpoint_dir=ckpt)
+    # second run resumes from both checkpoints and reproduces the result —
+    # WITHOUT executing the upstream input at all (short-circuit): the
+    # input dataset below raises if any batch is ever computed
+    def _boom(batch):
+        raise RuntimeError("upstream stage executed despite valid checkpoint")
+
+    poisoned = ray.data.from_arrow(corpus).map_batches(_boom, batch_format="pyarrow")
+    r2 = dedup_pipeline(poisoned, cfg, checkpoint_dir=ckpt, input_tag="tiny_corpus")
     assert r2.metrics.get("resumed_from") == "tagged"
     assert r2.metrics.get("resumed_pairs") is True
     assert _clusters_map(r2) == c1
@@ -54,11 +66,20 @@ def test_stale_checkpoint_invalidated_by_config(ray_session, tiny_corpus, tmp_pa
 
     corpus, _ = tiny_corpus
     ckpt = str(tmp_path / "ckpt2")
-    dedup_pipeline(ray.data.from_arrow(corpus), PipelineConfig(), checkpoint_dir=ckpt)
+    dedup_pipeline(ray.data.from_arrow(corpus), PipelineConfig(), checkpoint_dir=ckpt,
+                   input_tag="tiny_corpus")
     # different config -> fingerprint mismatch -> recompute, not resume
     cfg2 = PipelineConfig(jaccard_threshold=0.8)
-    r = dedup_pipeline(ray.data.from_arrow(corpus), cfg2, checkpoint_dir=ckpt)
+    r = dedup_pipeline(ray.data.from_arrow(corpus), cfg2, checkpoint_dir=ckpt,
+                       input_tag="tiny_corpus")
     assert "resumed_from" not in r.metrics
+    # different INPUT tag, same config -> also recompute (the ADVICE
+    # stale-corpus scenario)
+    dedup_pipeline(ray.data.from_arrow(corpus), cfg2, checkpoint_dir=ckpt,
+                   input_tag="tiny_corpus")
+    r3 = dedup_pipeline(ray.data.from_arrow(corpus), cfg2, checkpoint_dir=ckpt,
+                        input_tag="other_corpus")
+    assert "resumed_from" not in r3.metrics
 
 
 def test_interrupted_checkpoint_is_invalid(ray_session, tmp_path):
