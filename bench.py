@@ -46,7 +46,7 @@ DUP_RATES = tuple(float(x) for x in os.environ.get("GRAFT_BENCH_DUPS", "0.15,0.1
 def corpus_cache_dir(sf_dir: str, factor: int) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
     d = f"{DUP_RATES[0]:g}-{DUP_RATES[1]:g}"
-    return f"/tmp/graft_bench_corpus_{tag}_x{factor}_d{d}"
+    return f"/tmp/graft_bench_corpus_{tag}_x{factor}_d{d}_g{GROUP_SPAN}"
 
 
 def ensure_corpus_parquet(sf_dir: str, factor: int) -> str:
@@ -73,9 +73,22 @@ def ensure_corpus_parquet(sf_dir: str, factor: int) -> str:
     return out
 
 
+GROUP_SPAN = int(os.environ.get("GRAFT_BENCH_GROUP_SPAN", "48"))
+
+
 def _amplified_corpus(sf_dir: str, factor: int):
     """documents -> corpus-shaped Arrow table replicated `factor`x with
-    seeded mutations (copy 0 = original; copies >0 = near/exact clones)."""
+    seeded mutations (copy 0 of each group = group original; later copies
+    are near/exact clones of it).
+
+    Copies are organized into GROUPS of ``GROUP_SPAN``: every group gets
+    its own salted variant of the base document, and clones only ever
+    reference their group's variant.  That keeps dup-cluster sizes
+    BOUNDED as the corpus grows (more clusters, not bigger ones) — the
+    realistic shape of a growing code corpus.  Without the grouping,
+    cluster size grows linearly with the factor and intra-cluster pair
+    count quadratically, so a 2x corpus would measure 4x pair-emission
+    work instead of 2x corpus throughput."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -91,9 +104,23 @@ def _amplified_corpus(sf_dir: str, factor: int):
     # distinct documents (every ~4th word salted per copy pushes Jaccard
     # far below threshold) — a 98%-dup corpus would measure pair-emission
     # pathology, not dedup throughput
+    group_base = list(texts)
+    group = -1
     for copy in range(factor):
-        for i, t in enumerate(texts):
-            if copy == 0:
+        if copy // GROUP_SPAN != group:
+            group = copy // GROUP_SPAN
+            if group == 0:
+                group_base = list(texts)
+            else:
+                # distinct per-group variant: salt every 6th word so
+                # groups stay far below the similarity threshold
+                group_base = []
+                for t in texts:
+                    words = t.split(" ")
+                    words[::6] = [f"{w}~g{group}" for w in words[::6]]
+                    group_base.append(" ".join(words))
+        for i, t in enumerate(group_base):
+            if copy % GROUP_SPAN == 0:
                 body = t
                 kind = "orig"
             else:
@@ -221,6 +248,7 @@ def run_bench() -> dict:
         "dup_rows": n_groups,
         "cluster_fingerprint": cluster_fingerprint,
         "files_per_sec": round(n_files / headline, 1),
+        "stage_sec": res.metrics.get("stage_sec", {}),
     }
     ray.shutdown()
     return result

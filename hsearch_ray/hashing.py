@@ -56,13 +56,32 @@ def perm_params(seed: int, num_perms: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def normalize_for_shingles(content: bytes) -> bytes:
-    """Similarity-space normalization: CRLF -> LF only.
+import re as _re
+
+# module-level compiled patterns (T7 constant pattern): identifier tokens
+# and horizontal-whitespace runs.  \x01 cannot occur in an identifier, so
+# canonicalization is idempotent.
+_IDENT_RE = _re.compile(rb"[A-Za-z_][A-Za-z0-9_]*")
+_WS_RE = _re.compile(rb"[ \t]+")
+
+
+def normalize_for_shingles(content: bytes, canonicalize: bool = False) -> bytes:
+    """Similarity-space normalization: CRLF -> LF always; with
+    ``canonicalize`` (config ``token_canonicalize``, the M6 analog of the
+    reference's compressed-alphabet encode, hash_search.cpp:34-75
+    murphy10), identifier tokens additionally collapse to one symbol and
+    whitespace runs to one space, so rename-only / reformat-only clones
+    share shingles.  A recall lever with a documented precision cost —
+    structure, literals and punctuation still distinguish files.
 
     sha256 / exact dedup stays on RAW bytes (FIXTURES.md F5: CRLF and LF
     variants share shingles but keep distinct sha256).
     """
-    return content.replace(b"\r\n", b"\n") if b"\r" in content else content
+    out = content.replace(b"\r\n", b"\n") if b"\r" in content else content
+    if canonicalize:
+        out = _IDENT_RE.sub(b"\x01", out)
+        out = _WS_RE.sub(b" ", out)
+    return out
 
 
 def shingle_hashes(content: bytes, k: int) -> np.ndarray:

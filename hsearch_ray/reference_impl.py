@@ -105,7 +105,7 @@ def run_reference(
         raw = contents[i]
         if not (cfg.min_content_len <= len(raw) <= cfg.max_content_len):
             continue
-        norm = H.normalize_for_shingles(raw)
+        norm = H.normalize_for_shingles(raw, cfg.token_canonicalize)
         sh = H.shingle_hashes(norm, cfg.shingle_k)
         fid = int(fids[i])
         shingle_sets[fid] = sh
@@ -173,7 +173,7 @@ def brute_force_pairs(
     fids, sha, contents = _prep(corpus, cfg)
     sets: dict[int, np.ndarray] = {}
     for i, raw in enumerate(contents):
-        norm = H.normalize_for_shingles(raw)
+        norm = H.normalize_for_shingles(raw, cfg.token_canonicalize)
         sets[int(fids[i])] = H.shingle_hashes(norm, cfg.shingle_k)
     ids = sorted(sets)
     rows = []

@@ -114,8 +114,10 @@ def containment_pairs(sig_ds, corpus_ds, cfg: PipelineConfig):
     pairable_ref = ray.put(pairable)
 
     def _keep_pairable(batch: pa.Table) -> pa.Table:
+        from hsearch_ray.stages.verify import _in_sorted
+
         fp = batch["fp"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(np.isin(fp, ray.get(pairable_ref))))
+        return batch.filter(pa.array(_in_sorted(ray.get(pairable_ref), fp)))
 
     raw_pairs = (
         postings.map_batches(_keep_pairable, batch_format="pyarrow")

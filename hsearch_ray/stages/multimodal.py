@@ -1,12 +1,14 @@
-"""Multimodal (image/audio/video) column stages — Ray-side plumbing.
+"""Multimodal (image/audio/video) column stages.
 
 Driver brief: treat media as opaque ``binary`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
-actor-pool map_batches stages.  The image/audio codecs are NOT in this
-container, so the decode kernel is a clearly-marked deterministic FAKE
-(`_fake_decode`) behind the same interface a real libjpeg/ffmpeg-backed
-implementation would use — schema, batch sizing, actor signature and
-output layout are real and tested (tests/test_multimodal.py).
+actor-pool map_batches stages.  Two REAL pure-python decoders ship in
+this container: WAV (stdlib ``wave``; PCM8/16/32 -> float32) and PNG
+(``zlib`` inflate + scanline un-filtering for 8-bit gray/RGB/RGBA).
+Mimes the container genuinely cannot decode (JPEG/MP3/video codecs)
+fall back to the clearly-marked deterministic ``_fake_decode`` so the
+plumbing stays exercisable end-to-end; unknown mimes raise
+MediaDecodeError.
 
 Schema convention:
   media : binary            (opaque payload)
@@ -19,7 +21,11 @@ Batch sizing: payloads are large, so stages default to SMALL batch_size
 
 from __future__ import annotations
 
+import io
 import json
+import struct
+import wave
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -30,20 +36,106 @@ FEATURE_DIM = 64
 
 
 class MediaDecodeError(NotImplementedError):
-    """Raised when a real codec would be required."""
+    """Raised when no codec (real or stub) covers the mime type."""
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """stdlib-wave PCM decode -> float32 in [-1, 1] (channels interleaved)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        width = w.getsampwidth()
+        frames = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        return (np.frombuffer(frames, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    if width == 2:
+        return np.frombuffer(frames, dtype="<i2").astype(np.float32) / 32768.0
+    if width == 4:
+        return np.frombuffer(frames, dtype="<i4").astype(np.float32) / 2147483648.0
+    raise MediaDecodeError(f"unsupported WAV sample width {width}")
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA (8-bit only)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-python PNG decode (zlib inflate + filter reversal) for 8-bit
+    gray/RGB/RGBA, non-interlaced -> float32 (h, w, c) in [0, 1]."""
+    if payload[:8] != _PNG_MAGIC:
+        raise MediaDecodeError("not a PNG stream")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos : pos + 8])
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise MediaDecodeError("malformed PNG")
+    w, h, depth, ctype, _, _, interlace = ihdr
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise MediaDecodeError(
+            f"unsupported PNG (depth={depth}, color={ctype}, interlace={interlace})"
+        )
+    c = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise MediaDecodeError("PNG data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    for y in range(h):
+        f, cur = int(filters[y]), lines[y].copy()
+        up = out[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + up) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            row = out[y]
+            for x in range(stride):
+                a = row[x - c] if x >= c else 0
+                b = int(up[x])
+                if f == 1:
+                    val = cur[x] + a
+                elif f == 3:
+                    val = cur[x] + ((a + b) >> 1)
+                else:
+                    cc = int(up[x - c]) if x >= c else 0
+                    p = a + b - cc
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cc)
+                    val = cur[x] + pred
+                row[x] = val & 0xFF
+        else:
+            raise MediaDecodeError(f"unknown PNG filter {f}")
+    return out.astype(np.float32).reshape(h, w, c) / 255.0
 
 
 def _fake_decode(payload: bytes, mime: str) -> np.ndarray:
-    """Deterministic stand-in for a codec: derives a pseudo 'pixel/pcm'
-    array from the payload bytes.  A real implementation would dispatch
-    on mime to PIL / soundfile / pyav here and raise MediaDecodeError
-    for unsupported types."""
-    if not mime.startswith(("image/", "audio/", "video/")):
-        raise MediaDecodeError(f"unsupported mime {mime!r}")
+    """Deterministic stand-in for codecs absent from this container
+    (libjpeg/ffmpeg...): derives a pseudo 'pixel/pcm' array from the
+    payload bytes so downstream plumbing is exercised for real."""
     b = np.frombuffer(payload, dtype=np.uint8)
     if b.size == 0:
         return np.zeros(16, dtype=np.float32)
     return (b[: 4096].astype(np.float32) - 127.5) / 127.5
+
+
+def decode_media(payload: bytes, mime: str) -> np.ndarray:
+    """Dispatch: REAL decoders for audio/wav (x-wav) and image/png;
+    deterministic fake for other media mimes; MediaDecodeError otherwise."""
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        return decode_wav(payload)
+    if mime == "image/png":
+        return decode_png(payload)
+    if mime.startswith(("image/", "audio/", "video/")):
+        return _fake_decode(payload, mime)
+    raise MediaDecodeError(f"unsupported mime {mime!r}")
 
 
 class MediaFeaturizer:
@@ -66,9 +158,9 @@ class MediaFeaturizer:
         for i, (p, m) in enumerate(zip(payloads, mimes)):
             digests.append(H.sha256_hex(p))
             try:
-                raw = _fake_decode(p, m)
+                raw = decode_media(p, m).ravel()
                 buf = np.zeros(4096, dtype=np.float32)
-                buf[: raw.size] = raw[:4096]
+                buf[: min(raw.size, 4096)] = raw[:4096]
                 feats[i] = buf @ self.proj
                 ok.append(True)
             except MediaDecodeError:

@@ -59,7 +59,7 @@ class Signer:
         uniqs: list[np.ndarray] = []
         nonempty: list[int] = []
         for i, raw in enumerate(contents):
-            norm = H.normalize_for_shingles(raw)
+            norm = H.normalize_for_shingles(raw, cfg.token_canonicalize)
             stream = H.shingle_stream(norm, cfg.shingle_k)
             uniq = np.unique(stream)
             nsh[i] = uniq.size
@@ -100,18 +100,21 @@ def pool_size(frac: float = 0.75) -> int:
 
 @functools.lru_cache(maxsize=8)
 def _cached_signer(seed: int, num_perms: int, shingle_k: int, winnow: int,
-                   scheme: str, with_fps: bool, with_simhash: bool) -> "Signer":
+                   scheme: str, with_fps: bool, with_simhash: bool,
+                   canon: bool) -> "Signer":
     from hsearch_ray.config import PipelineConfig as _PC
 
     cfg = _PC(seed=seed, num_perms=num_perms, shingle_k=shingle_k,
-              winnow_window=winnow, minhash_scheme=scheme)
+              winnow_window=winnow, minhash_scheme=scheme,
+              token_canonicalize=canon)
     return Signer(cfg, with_fps, with_simhash)
 
 
 def _sign_task(batch: pa.Table, seed: int, num_perms: int, shingle_k: int,
-               winnow: int, scheme: str, with_fps: bool, with_simhash: bool) -> pa.Table:
+               winnow: int, scheme: str, with_fps: bool, with_simhash: bool,
+               canon: bool) -> pa.Table:
     return _cached_signer(seed, num_perms, shingle_k, winnow, scheme,
-                          with_fps, with_simhash)(batch)
+                          with_fps, with_simhash, canon)(batch)
 
 
 def sign(ds, cfg: PipelineConfig, with_fingerprints: bool = False,
@@ -129,7 +132,8 @@ def sign(ds, cfg: PipelineConfig, with_fingerprints: bool = False,
         fn_kwargs=dict(seed=cfg.seed, num_perms=cfg.num_perms,
                        shingle_k=cfg.shingle_k, winnow=cfg.winnow_window,
                        scheme=cfg.minhash_scheme,
-                       with_fps=with_fingerprints, with_simhash=with_simhash),
+                       with_fps=with_fingerprints, with_simhash=with_simhash,
+                       canon=cfg.token_canonicalize),
         batch_format="pyarrow",
         batch_size=cfg.sign_batch_size,
     )

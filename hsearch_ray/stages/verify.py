@@ -39,6 +39,16 @@ VERIFIED_SCHEMA = pa.schema(
 )
 
 
+def _in_sorted(sorted_ids: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Membership of x in a SORTED id array via searchsorted — np.isin
+    would re-sort the (large) id array on every batch."""
+    if sorted_ids.size == 0:
+        return np.zeros(x.size, dtype=bool)
+    pos = np.searchsorted(sorted_ids, x)
+    pos = np.minimum(pos, sorted_ids.size - 1)
+    return sorted_ids[pos] == x
+
+
 def candidate_ids(pairs_ds) -> np.ndarray:
     """Distinct file ids referenced by the pair table (driver-side array)."""
 
@@ -114,6 +124,9 @@ class Verifier:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         thr = self.cfg.jaccard_threshold
+        # with the edit tier on, pairs just below threshold are kept as
+        # "borderline" for the second-tier token check (F12/F13 analog)
+        thr_lo = thr - self.cfg.edit_band if self.cfg.edit_verify else thr
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         sa_idx, pa_pos, a_ok, na = self._locate(a)
@@ -121,24 +134,25 @@ class Verifier:
         lo = np.minimum(na, nb)
         hi = np.maximum(na, nb)
         # size-ratio bound: attainable Jaccard <= |small|/|big|
-        candidates = np.nonzero(a_ok & b_ok & (lo > 0) & (lo >= thr * hi))[0]
-        out_a, out_b, out_j = [], [], []
+        candidates = np.nonzero(a_ok & b_ok & (lo > 0) & (lo >= thr_lo * hi))[0]
+        out_a, out_b, out_j, out_m = [], [], [], []
         for i in candidates:
             sa = self._slice(sa_idx[i], pa_pos[i])
             sb = self._slice(sb_idx[i], pb_pos[i])
             inter = H.intersect_count(sa, sb)
             union = sa.size + sb.size - inter
             j = inter / union if union else 0.0
-            if j >= thr:
+            if j >= thr_lo:
                 out_a.append(int(a[i]))
                 out_b.append(int(b[i]))
                 out_j.append(j)
+                out_m.append("minhash_lsh" if j >= thr else "borderline")
         return pa.table(
             {
                 "a": pa.array(out_a, pa.int64()),
                 "b": pa.array(out_b, pa.int64()),
                 "jaccard": pa.array(out_j, pa.float64()),
-                "method": pa.array(["minhash_lsh"] * len(out_a), pa.string()),
+                "method": pa.array(out_m, pa.string()),
             }
         )
 
@@ -148,15 +162,16 @@ def shingle_lists(corpus_ds, ids: np.ndarray, cfg: PipelineConfig):
     candidate files — the join-side input of verify_pairs."""
     ids_ref = ray.put(np.sort(ids))
     k = cfg.shingle_k
+    canon = cfg.token_canonicalize
 
     def _shingle(batch: pa.Table) -> pa.Table:
         fid = batch["file_id"].to_numpy(zero_copy_only=False)
-        mask = np.isin(fid, ray.get(ids_ref))
+        mask = _in_sorted(ray.get(ids_ref), fid)
         sub = batch.filter(pa.array(mask))
         out_f = sub["file_id"].to_numpy(zero_copy_only=False)
         contents = sub["content"].cast(pa.large_binary()).to_pylist()
         arrs = [
-            H.shingle_hashes(H.normalize_for_shingles(c), k).view(np.int64)
+            H.shingle_hashes(H.normalize_for_shingles(c, canon), k).view(np.int64)
             for c in contents
         ]
         # packed as large_binary (LE int64 bytes): Acero hash joins don't
@@ -246,6 +261,97 @@ def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig,
     return ray.put((bounds[1:-1], shard_refs))
 
 
+_TOKEN_RE = None  # compiled lazily in workers (module import cost discipline)
+
+
+def token_bag_similarity(a: bytes, b: bytes) -> float:
+    """Order-insensitive token-multiset Dice similarity
+    2·|A ∩ B| / (|A| + |B|) over word/punct tokens.
+
+    The F12/F13/A11 analog: the reference verifies borderline hits with
+    banded seed-extend alignment and then combines up to 5 NON-COLLINEAR
+    HSPs into one score (hash_search.cpp:718-948, SumEvalue
+    hash_search.cpp:1199-1273) — i.e. it, too, credits matching segments
+    regardless of their order in the file.  A token multiset score is
+    the bag-limit of that idea: 'same code, reordered functions' scores
+    ~1.0 where shingle Jaccard drops below threshold."""
+    import re
+    from collections import Counter
+
+    global _TOKEN_RE
+    if _TOKEN_RE is None:
+        _TOKEN_RE = re.compile(rb"\w+|[^\w\s]")
+    ta = Counter(_TOKEN_RE.findall(a))
+    tb = Counter(_TOKEN_RE.findall(b))
+    na, nb = sum(ta.values()), sum(tb.values())
+    if na + nb == 0:
+        return 1.0
+    inter = sum((ta & tb).values())
+    return 2.0 * inter / (na + nb)
+
+
+def edit_verify_pairs(borderline_ds, corpus_ds, cfg: PipelineConfig):
+    """Second-tier check for pairs whose exact Jaccard landed in
+    [thr - edit_band, thr): fetch ONLY those files' contents (broadcast —
+    borderline pairs are a narrow band by construction), score with
+    token_bag_similarity, admit >= edit_sim_threshold as method="edit"
+    (the score is reported in the ``jaccard`` column)."""
+    ids = candidate_ids(borderline_ds)
+    if ids.size == 0:
+        return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
+    ids_ref = ray.put(np.sort(ids))
+    canon = cfg.token_canonicalize
+
+    def _grab(batch: pa.Table) -> pa.Table:
+        fid = batch["file_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(_in_sorted(ray.get(ids_ref), fid)))
+        return pa.table({"file_id": sub["file_id"].cast(pa.int64()),
+                         "content": sub["content"].cast(pa.large_binary())})
+
+    cont = corpus_ds.map_batches(_grab, batch_format="pyarrow").to_pandas()
+    cmap = {int(f): bytes(c) for f, c in zip(cont["file_id"], cont["content"])}
+    cmap_ref = ray.put(cmap)
+    thr = cfg.edit_sim_threshold
+
+    def _score(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cmap_ref)
+        oa, ob, os_ = [], [], []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            ca, cb = cm.get(int(a)), cm.get(int(b))
+            if ca is None or cb is None:
+                continue
+            from hsearch_ray import hashing as _H
+
+            s = token_bag_similarity(
+                _H.normalize_for_shingles(ca, canon),
+                _H.normalize_for_shingles(cb, canon),
+            )
+            if s >= thr:
+                oa.append(int(a))
+                ob.append(int(b))
+                os_.append(round(s, 6))
+        return pa.table(
+            {
+                "a": pa.array(oa, pa.int64()),
+                "b": pa.array(ob, pa.int64()),
+                "jaccard": pa.array(os_, pa.float64()),
+                "method": pa.array(["edit"] * len(oa), pa.string()),
+            }
+        )
+
+    return borderline_ds.map_batches(_score, batch_format="pyarrow",
+                                     batch_size=cfg.verify_batch_size)
+
+
+def _split_by_method(ds, method: str):
+    import pyarrow.compute as pc
+
+    def _keep(batch: pa.Table, want: str = method) -> pa.Table:
+        return batch.filter(pc.equal(batch["method"], want))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
+
+
 def verify_pairs(pairs_ds, corpus_ds, cfg: PipelineConfig):
     """candidate pairs + corpus -> verified pairs Dataset (a,b,jaccard,method).
 
@@ -253,8 +359,9 @@ def verify_pairs(pairs_ds, corpus_ds, cfg: PipelineConfig):
     through the object store (each pair row carries only two int64 ids —
     a hash-join alternative would duplicate an ~O(shingles) payload onto
     every pair row, which explodes exactly when there are many dups).
-    Scale note: when the candidate store outgrows node memory, shard it
-    by file_id range and route pairs to shards with one narrow shuffle.
+    With ``cfg.edit_verify``, pairs in the borderline Jaccard band get
+    the token-similarity second tier and may be admitted as
+    method="edit".
     """
     ids = candidate_ids(pairs_ds)
     if ids.size == 0:
@@ -268,8 +375,14 @@ def verify_pairs(pairs_ds, corpus_ds, cfg: PipelineConfig):
         v = Verifier(cfg, store_ref)
         return v(batch)
 
-    return pairs_ds.map_batches(
+    verified = pairs_ds.map_batches(
         _verify_task,
         batch_format="pyarrow",
         batch_size=cfg.verify_batch_size,
     )
+    if not cfg.edit_verify:
+        return verified
+    verified = verified.materialize()
+    accepted = _split_by_method(verified, "minhash_lsh")
+    borderline = _split_by_method(verified, "borderline")
+    return accepted.union(edit_verify_pairs(borderline, corpus_ds, cfg))

@@ -1,17 +1,119 @@
-"""Multimodal plumbing: schema, 1->N sampling, decode-stub dispatch."""
+"""Multimodal stages: REAL WAV/PNG decode round-trips, schema, 1->N
+sampling, fake-codec fallback and unknown-mime dispatch."""
 
+import io
 import json
+import struct
+import wave
+import zlib
 
 import numpy as np
 import pyarrow as pa
 import pytest
 
 
+def _make_wav(n=500, width=2, rate=8000) -> bytes:
+    t = np.arange(n, dtype=np.float64)
+    sig = np.sin(2 * np.pi * 440 * t / rate)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 1:
+            w.writeframes((128 + 100 * sig).astype(np.uint8).tobytes())
+        else:
+            w.writeframes((32000 * sig).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
+
+
+def _make_png(img: np.ndarray, filters=(0,)) -> bytes:
+    """Encode an 8-bit (h, w, c) array applying the given per-row filter
+    cycle — exercises the decoder's un-filtering paths."""
+    h, w, c = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+    stride = w * c
+    raw = bytearray()
+    flat = img.reshape(h, stride).astype(np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+        left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+        ul = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - ul
+            pa_, pb_, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                            np.where(pb_ <= pc_, prev, ul))
+            enc = line - pred
+        raw += bytes([f]) + bytes((enc & 0xFF).astype(np.uint8))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def test_wav_decode_roundtrip():
+    from hsearch_ray.stages.multimodal import decode_wav
+
+    for width in (1, 2):
+        payload = _make_wav(width=width)
+        out = decode_wav(payload)
+        assert out.dtype == np.float32 and out.size == 500
+        assert np.abs(out).max() <= 1.0
+        # a 440Hz sine: strongest DFT bin near 440/8000*500 = 27.5
+        spec = np.abs(np.fft.rfft(out.astype(np.float64)))
+        assert abs(int(np.argmax(spec[1:])) + 1 - 27.5) < 2
+
+
+@pytest.mark.parametrize("filters", [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)])
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_png_decode_roundtrip(filters, channels):
+    from hsearch_ray.stages.multimodal import decode_png
+
+    rng = np.random.Generator(np.random.PCG64(99))
+    img = rng.integers(0, 256, size=(7, 5, channels), dtype=np.uint8)
+    out = decode_png(_make_png(img.astype(np.int32), filters))
+    assert out.shape == (7, 5, channels)
+    np.testing.assert_allclose(out, img.astype(np.float32) / 255.0, atol=1e-7)
+
+
+def test_png_unsupported_rejected():
+    from hsearch_ray.stages.multimodal import MediaDecodeError, decode_png
+
+    with pytest.raises(MediaDecodeError):
+        decode_png(b"not a png at all")
+
+
 def _media_table(n=10):
     rng = np.random.Generator(np.random.PCG64(7))
-    payloads = [rng.integers(0, 256, size=int(rng.integers(100, 5000)),
-                             dtype=np.uint8).tobytes() for _ in range(n)]
-    mimes = ["image/png" if i % 3 else "audio/wav" for i in range(n)]
+    payloads, mimes = [], []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            payloads.append(_make_wav(n=200 + 10 * i))
+            mimes.append("audio/wav")
+        elif kind == 1:
+            img = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+            payloads.append(_make_png(img.astype(np.int32), (0, 1, 2, 3, 4)))
+            mimes.append("image/png")
+        else:  # no JPEG codec in this container -> deterministic fake path
+            payloads.append(rng.integers(0, 256, size=1000, dtype=np.uint8).tobytes())
+            mimes.append("image/jpeg")
     metas = [json.dumps({"n_frames": 25}) for _ in range(n)]
     return pa.table(
         {
@@ -32,10 +134,41 @@ def test_featurize_schema_and_determinism(ray_session):
     out2 = featurize_media(ray.data.from_arrow(tbl)).take_all()
     assert len(out1) == 12
     assert all(len(r["feature"]) == FEATURE_DIM for r in out1)
-    assert all(r["decoded"] for r in out1)
+    assert all(r["decoded"] for r in out1)  # wav+png real, jpeg via stub
     d1 = {r["digest"]: list(r["feature"]) for r in out1}
     d2 = {r["digest"]: list(r["feature"]) for r in out2}
     assert d1 == d2  # deterministic features per payload
+
+
+def test_featurize_real_decode_changes_features(ray_session):
+    """The featurizer output for a real WAV depends on the DECODED
+    samples, not the container bytes: two encodings of the same samples
+    (different container metadata) featurize identically."""
+    import ray.data
+
+    from hsearch_ray.stages.multimodal import featurize_media
+
+    sig = (32000 * np.sin(np.arange(300) / 7.0)).astype("<i2").tobytes()
+
+    def enc(rate):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(sig)
+        return buf.getvalue()
+
+    tbl = pa.table(
+        {
+            "media": pa.array([enc(8000), enc(16000)], pa.binary()),
+            "mime": pa.array(["audio/wav"] * 2, pa.string()),
+            "meta": pa.array(["{}"] * 2, pa.string()),
+        }
+    )
+    out = featurize_media(ray.data.from_arrow(tbl)).take_all()
+    assert out[0]["digest"] != out[1]["digest"]  # container bytes differ
+    assert list(out[0]["feature"]) == list(out[1]["feature"])  # samples equal
 
 
 def test_featurize_unsupported_mime(ray_session):
