@@ -147,11 +147,11 @@ def dedup_pipeline(
         )
         sigs = sign(sim_input, cfg)
         banded = band_explode(sigs, cfg)
-        cand, lsh_metrics = candidate_pairs(banded, cfg)
+        cand, cand_ids, lsh_metrics = candidate_pairs(banded, cfg)
         metrics.update(lsh_metrics)
         _mark("sign_band_candidates")
 
-        verified = verify_pairs(cand, kept, cfg)
+        verified = verify_pairs(cand, kept, cfg, ids=cand_ids)
         if pairs_dir:
             verified = lineage.write_checkpoint(
                 verified, pairs_dir, fingerprint, "pairs", metrics=metrics

@@ -50,3 +50,20 @@ def write_outputs(result, out_dir: str) -> dict:
         json.dump(result.metrics, f, indent=2, default=str)
     summary["metrics"] = os.path.join(out_dir, "metrics.json")
     return summary
+
+
+def write_pair_report(pairs_ds, path: str, limit: int = 10_000) -> int:
+    """Human-readable pair report (S7 analog: the alignment text writer,
+    pcluster/src/pcluster/hash_search.cpp:1275-1286) — a DEBUG sink, so
+    it deliberately caps at ``limit`` rows; the parquet pairs table is
+    the machine-readable output.  Returns the number of rows written."""
+    tmp = path + ".tmp"
+    n = 0
+    with open(tmp, "w") as f:
+        f.write("# a\tb\tscore\tmethod\n")
+        for row in pairs_ds.limit(limit).iter_rows():
+            f.write(f"{int(row['a'])}\t{int(row['b'])}\t"
+                    f"{row['jaccard']:.6f}\t{row['method']}\n")
+            n += 1
+    os.replace(tmp, path)
+    return n

@@ -483,6 +483,123 @@ def q_sample_events(sf_dir: str):
     return ds.random_shuffle(seed=42).limit(100)
 
 
+def q_recall_eval_docs(sf_dir: str):
+    """Recall evaluator as a first-class query (A8/A9 analog — the
+    reference runs its evaluator after every search,
+    motif_both_points.cpp:383-386, with per-distance-bin accuracy
+    tp/fn histograms at 100-165).  truth = brute-force exact-Jaccard
+    pairs >= thr among exact-dedup reps (the noLSH oracle, O(n^2) by
+    design); found = the LSH pipeline's pairs.  Output: one row per
+    jaccard decile bin with tp/fn counts."""
+    import ray.data
+
+    from hsearch_ray.pipelines.dedup import dedup_pipeline
+    from hsearch_ray.stages.exact_dedup import exact_dedup
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.verify import Verifier, build_store, candidate_ids
+
+    cfg = PipelineConfig()
+    corpus = _docs_as_corpus(sf_dir)
+    res = dedup_pipeline(corpus, cfg)
+    found = res.pairs.to_pandas()
+    found_set = set(zip(found["a"].astype(np.int64), found["b"].astype(np.int64)))
+
+    # brute-force truth among reps: ALL pairs, exact verify (distributed)
+    norm = normalize(corpus).materialize()
+    _, kept, _ = exact_dedup(norm)
+    rep_ids = np.sort(
+        kept.select_columns(["file_id"]).to_pandas()["file_id"].to_numpy(dtype=np.int64)
+    )
+    ii, jj = np.triu_indices(rep_ids.size, k=1)
+    all_pairs = ray.data.from_arrow(
+        pa.table({"a": pa.array(rep_ids[ii], pa.int64()),
+                  "b": pa.array(rep_ids[jj], pa.int64())})
+    )
+    store_ref = build_store(norm, rep_ids, cfg)
+
+    def _truth_task(batch: pa.Table) -> pa.Table:
+        return Verifier(cfg, store_ref)(batch)
+
+    truth = all_pairs.map_batches(
+        _truth_task, batch_format="pyarrow", batch_size=cfg.verify_batch_size
+    ).to_pandas()
+    # exact-dup pairs (j = 1.0) belong to the truth set too
+    exact = found[found["method"] == "exact"]
+    truth = pd.concat([truth[["a", "b", "jaccard"]], exact[["a", "b", "jaccard"]]])
+    tp = np.zeros(11, dtype=np.int64)
+    fn = np.zeros(11, dtype=np.int64)
+    for a, b, j in zip(truth["a"].astype(np.int64), truth["b"].astype(np.int64),
+                       truth["jaccard"]):
+        b10 = int(np.floor(np.round(j, 6) * 10))
+        if (a, b) in found_set:
+            tp[b10] += 1
+        else:
+            fn[b10] += 1
+    bins = np.nonzero(tp + fn)[0]
+    return pd.DataFrame({"bin": bins.astype(np.int64),
+                         "tp": tp[bins], "fn": fn[bins]})
+
+
+def q_cluster_radius_docs(sf_dir: str):
+    """Cluster radius (A3 analog, hclust.cpp:216-222: max member distance
+    to center): per non-singleton cluster, radius = max(1 - jaccard)
+    over its verified pair edges, rounded to 6."""
+    from hsearch_ray.pipelines.dedup import dedup_pipeline
+
+    res = dedup_pipeline(_docs_as_corpus(sf_dir), PipelineConfig())
+    pairs = res.pairs.to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"cluster_id": pd.Series(dtype="int64"),
+                             "radius": pd.Series(dtype="float64")})
+    # a pair's endpoints share a cluster by construction; pairs are the
+    # dup set (small), so the driver groupby here matches the scale
+    # argument that makes the root map broadcast-safe
+    keys = res.clusters.to_pandas()
+    km = keys.set_index("file_id")["cluster_id"]
+    cid = pairs["a"].map(km).astype(np.int64)
+    # round j BEFORE the subtraction — mirrors the oracle expression
+    dist = 1.0 - np.round(pairs["jaccard"].to_numpy(dtype=np.float64), 6)
+    out = (
+        pd.DataFrame({"cluster_id": cid, "dist": dist})
+        .groupby("cluster_id", as_index=False)
+        .agg(radius=("dist", "max"))
+    )
+    out["radius"] = np.round(out["radius"], 6)
+    return out
+
+
+def q_tsv_lang_count_docs(sf_dir: str):
+    """TSV reader + stats (S5 analog, NOGCOG.cpp:36-56: parse TSV,
+    aggregate): export documents to TSV once, read it back with
+    ray.data.read_csv, aggregate per lang.  The oracle recomputes from
+    the parquet table — equality proves the TSV round trip."""
+    import csv
+    import os
+
+    import ray.data
+
+    tsv_dir = f"/tmp/graft_tsv_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = tsv_dir + "/.done"
+    if not os.path.exists(marker):
+        os.makedirs(tsv_dir, exist_ok=True)
+        pdf = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]).to_pandas()
+        pdf.to_csv(tsv_dir + "/docs.tsv", sep="\t", index=False,
+                   quoting=csv.QUOTE_MINIMAL)
+        with open(marker, "w") as f:
+            f.write("ok")
+    from pyarrow import csv as pacsv
+
+    ds = ray.data.read_csv(
+        tsv_dir + "/docs.tsv",
+        parse_options=pacsv.ParseOptions(delimiter="\t"),
+    )
+    out = grouped_agg(ds, ["lang"], {"n_chars": ["sum"]}, count_alias="n_docs")
+    return pd.DataFrame(
+        {"lang": out["lang"], "n_docs": out["n_docs"].astype("int64"),
+         "sum_chars": out["n_chars__sum"].astype("int64")}
+    )
+
+
 # ---------------------------------------------------------------- similarity search
 
 
@@ -537,6 +654,9 @@ QUERIES = {
     "filter_agg_events": q_filter_agg_events,
     "events_by_day": q_events_by_day,
     "supplier_part_stats": q_supplier_part_stats,
+    "recall_eval_docs": q_recall_eval_docs,
+    "cluster_radius_docs": q_cluster_radius_docs,
+    "tsv_lang_count_docs": q_tsv_lang_count_docs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "explode_lines_docs": q_explode_lines_docs,
@@ -693,7 +813,54 @@ WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.5
 """
 
 
+_RECALL_EVAL_SQL = f"""
+WITH {_shingle_pairs_cte(rep_only=True)},
+all_pairs AS (
+  SELECT round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+  UNION ALL
+  SELECT CAST(1.0 AS DOUBLE) FROM rep WHERE doc_id <> rep_id
+)
+SELECT CAST(floor(j * 10) AS BIGINT) AS bin, count(*) AS tp,
+       CAST(0 AS BIGINT) AS fn
+FROM all_pairs GROUP BY 1
+"""
+
+_CLUSTER_RADIUS_SQL = f"""
+WITH RECURSIVE {_shingle_pairs_cte(rep_only=False)},
+ej AS (
+  SELECT a, b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS j
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+  UNION ALL
+  SELECT rep_id, doc_id, CAST(1.0 AS DOUBLE) FROM rep WHERE doc_id <> rep_id
+),
+e AS (SELECT a, b FROM ej),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT s.u, reach.r FROM reach JOIN sym s ON s.v = reach.id
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT cl.cluster_id, round(max(1 - ej.j), 6) AS radius
+FROM ej JOIN clusters cl ON cl.doc_id = ej.a
+GROUP BY cl.cluster_id
+"""
+
+
 ORACLE_SQL = {
+    "recall_eval_docs": _RECALL_EVAL_SQL,
+    "cluster_radius_docs": _CLUSTER_RADIUS_SQL,
+    "tsv_lang_count_docs": """
+        SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY lang
+    """,
     "near_dup_pairs_docs": _NEAR_DUP_PAIRS_SQL,
     "near_dup_clusters_docs": _NEAR_DUP_CLUSTERS_SQL,
     "cluster_stats_docs": _CLUSTER_STATS_SQL,

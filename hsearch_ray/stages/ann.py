@@ -107,15 +107,24 @@ class _HyperplaneCoder:
 
 
 def lsh_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
-             nbits: int = 8, seed: int = 42):
-    """Bucketed ANN: only vectors sharing the query's hyperplane code are
-    scored.  Approximate (recall < 1); the bucket groupby is the shuffle."""
+             nbits: int = 8, seed: int = 42, multiprobe: int = 1):
+    """Bucketed ANN: only vectors whose hyperplane code is within
+    ``multiprobe`` bit flips of the query's code are scored (classic
+    multi-probe LSH — neighboring buckets differ in the bits whose
+    hyperplane margin is smallest, so probing Hamming-1 buckets recovers
+    most of the single-probe misses for (1+nbits)x the candidate pool).
+    Approximate by design; recall vs brute force is pinned by a test."""
     qd = {int(i): np.asarray(v, dtype=np.float64) for i, v in query_vectors.items()}
     dim = len(next(iter(qd.values())))
     coder = _HyperplaneCoder(dim, nbits, seed)
     qcodes: dict[int, list[int]] = {}
     for qid, v in qd.items():
-        qcodes.setdefault(int(coder.code(v[None, :])[0]), []).append(qid)
+        base = int(coder.code(v[None, :])[0])
+        codes = [base]
+        if multiprobe >= 1:
+            codes += [base ^ (1 << b) for b in range(nbits)]
+        for code in codes:
+            qcodes.setdefault(code, []).append(qid)
     ref = ray.put((qd, qcodes))
 
     class _BucketScore:

@@ -107,7 +107,10 @@ def _pairs_within_runs(keys: np.ndarray, fids: np.ndarray, cap: int):
 
 def _dedup_sorted_pair_block(batch: pa.Table) -> pa.Table:
     """Within-block pair dedup for a (a,b)-sorted block; rows matching the
-    block's first/last pair spill (kind=1) for one tiny cross-block pass."""
+    block's first/last pair spill (kind=1) for one tiny cross-block pass.
+    Also emits the block's distinct file ids as kind=2 rows — fusing the
+    candidate-id collection into this scan saves the downstream verify
+    stage a whole extra pass over the pair table."""
     n = batch.num_rows
     if n == 0:
         return pa.schema(
@@ -121,14 +124,21 @@ def _dedup_sorted_pair_block(batch: pa.Table) -> pa.Table:
     edge = ((a == a[0]) & (b == b[0])) | ((a == a[-1]) & (b == b[-1]))
     interior = keep & ~edge
     spill = keep & edge  # one representative per edge pair value
+    ids = np.unique(np.concatenate([a[keep], b[keep]]))
     return pa.table(
         {
-            "a": pa.array(np.concatenate([a[interior], a[spill]]), pa.int64()),
-            "b": pa.array(np.concatenate([b[interior], b[spill]]), pa.int64()),
+            "a": pa.array(
+                np.concatenate([a[interior], a[spill], ids]), pa.int64()
+            ),
+            "b": pa.array(
+                np.concatenate([b[interior], b[spill], np.zeros(ids.size, I64)]),
+                pa.int64(),
+            ),
             "kind": pa.array(
                 np.concatenate(
                     [np.zeros(int(interior.sum()), np.int8),
-                     np.ones(int(spill.sum()), np.int8)]
+                     np.ones(int(spill.sum()), np.int8),
+                     np.full(ids.size, 2, np.int8)]
                 ),
                 pa.int8(),
             ),
@@ -146,7 +156,8 @@ def _project_ab(batch: pa.Table) -> pa.Table:
 def distinct_pairs(pairs_ds):
     """Distributed distinct over (a,b): sort + per-block vectorized run
     dedup; only block-edge pair values (2 per block) take a driver pass.
-    Returns (Dataset, n_distinct)."""
+    Returns (Dataset, n_distinct, candidate_ids) — the distinct file ids
+    come from the same scan (kind=2 rows), not an extra pass."""
     emitted = (
         pairs_ds.sort(["a", "b"])
         .map_batches(_dedup_sorted_pair_block, batch_size=None, batch_format="pyarrow")
@@ -155,12 +166,23 @@ def distinct_pairs(pairs_ds):
     interior = emitted.filter(expr="kind == 0").map_batches(
         _project_ab, batch_format="pyarrow"
     )
-    spill = (
-        emitted.filter(expr="kind == 1")
-        .map_batches(_project_ab, batch_format="pyarrow")
+    small = (
+        emitted.filter(expr="kind != 0")
+        .map_batches(
+            lambda b: pa.table({"a": b["a"].cast(pa.int64()),
+                                "b": b["b"].cast(pa.int64()),
+                                "kind": b["kind"]}),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
-    n = emitted.count() - len(spill)  # metadata count; no extra execution
+    if small.empty:  # empty filter output loses its schema in pandas
+        small = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "kind": pd.Series(dtype="int8")})
+    spill = small[small["kind"] == 1][["a", "b"]]
+    ids = np.unique(small.loc[small["kind"] == 2, "a"].to_numpy(dtype=I64))
+    n = emitted.count() - len(small)  # metadata count; no extra execution
     if len(spill):
         spill = spill.drop_duplicates()
         interior = interior.union(
@@ -170,7 +192,7 @@ def distinct_pairs(pairs_ds):
             )
         )
         n += len(spill)
-    return interior, n
+    return interior, n, ids
 
 
 def _emit_bucket_runs(batch: pa.Table, cap: int) -> pa.Table:
@@ -307,7 +329,7 @@ def candidate_pairs(banded_ds, cfg: PipelineConfig):
     # distinct across bands (D5 analog — the critical cost lever before
     # exact verification, motif_both_points.cpp:222-243 label[] dedup);
     # distributed sort-based dedup, no driver funnel
-    uniq, n_uniq = distinct_pairs(pair_ds)
+    uniq, n_uniq, cand_ids = distinct_pairs(pair_ds)
 
     # skew telemetry (A4): interior histogram rows + boundary-run sizes —
     # a few rows per block, the only driver-bound traffic in this stage
@@ -321,6 +343,10 @@ def candidate_pairs(banded_ds, cfg: PipelineConfig):
         )
         .to_pandas()
     )
+    if small.empty:
+        small = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "kind": pd.Series(dtype="int8")})
     hist = small[small["kind"] == 2]
     spill = small[small["kind"] == 1]
     histogram: dict[int, int] = {}
@@ -345,4 +371,4 @@ def candidate_pairs(banded_ds, cfg: PipelineConfig):
         "bucket_histogram_top": dict(sorted(histogram.items())[-8:]),
         "candidate_pairs": int(n_uniq),
     }
-    return uniq, metrics
+    return uniq, cand_ids, metrics

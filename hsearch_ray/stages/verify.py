@@ -186,9 +186,12 @@ def shingle_lists(corpus_ds, ids: np.ndarray, cfg: PipelineConfig):
 def _list_views(col) -> tuple[np.ndarray, np.ndarray]:
     """(offsets, values) numpy views of a large_binary column holding
     packed LE-int64 shingle arrays.  Offsets are converted to element
-    units (bytes / 8)."""
+    units (bytes / 8).  ZERO-COPY: single-chunk columns view the chunk
+    directly — combine_chunks would copy the whole payload, and holding
+    views into per-block copies was measured to stall shard assembly by
+    an order of magnitude (allocator pressure from GBs of live copies)."""
     if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
+        col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
     byte_offsets = np.frombuffer(
         col.buffers()[1], dtype=np.int64, count=len(col) + 1, offset=col.offset * 8
     )
@@ -197,6 +200,18 @@ def _list_views(col) -> tuple[np.ndarray, np.ndarray]:
         np.frombuffer(data_buf, dtype=np.uint64) if data_buf is not None and len(data_buf) else np.empty(0, np.uint64)
     )
     return (byte_offsets // 8).astype(np.int64), values
+
+
+def _gather_ranges(val: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Copy the concatenation of val[starts[i] : starts[i]+lens[i]] into
+    ONE owned array with a single fancy-index gather (no per-row loop,
+    no lingering views into the source buffer)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=val.dtype)
+    prefix = np.concatenate(([0], np.cumsum(lens[:-1])))
+    idx = np.repeat(starts - prefix, lens) + np.arange(total, dtype=np.int64)
+    return val[idx]
 
 
 @ray.remote
@@ -213,16 +228,14 @@ def _assemble_shard(lo: int, hi: int, *blocks):
         mask = (fid >= lo) & (fid < hi)
         if not mask.any():
             continue
-        off, val = _list_views(tbl["sh"])
-        lens = np.diff(off)
-        starts = off[:-1] - off[0]
-        vals_local = val[off[0] : off[-1]]
+        off, val = _list_views(tbl["sh"])  # zero-copy views of the block
         sel = np.nonzero(mask)[0]
+        lens_sel = (off[sel + 1] - off[sel]).astype(np.int64)
         fid_parts.append(fid[sel])
-        len_parts.append(lens[sel])
-        val_parts.extend(
-            vals_local[starts[i] : starts[i] + lens[i]] for i in sel
-        )
+        len_parts.append(lens_sel)
+        # one vectorized gather per block; the result OWNS its memory, so
+        # no view pins the (plasma) block past this iteration
+        val_parts.append(_gather_ranges(val, off[sel], lens_sel))
     if not fid_parts:
         e = np.empty(0, dtype=np.int64)
         return (e, e, e, np.empty(0, np.uint64))
@@ -352,7 +365,8 @@ def _split_by_method(ds, method: str):
     return ds.map_batches(_keep, batch_format="pyarrow")
 
 
-def verify_pairs(pairs_ds, corpus_ds, cfg: PipelineConfig):
+def verify_pairs(pairs_ds, corpus_ds, cfg: PipelineConfig,
+                 ids: np.ndarray | None = None):
     """candidate pairs + corpus -> verified pairs Dataset (a,b,jaccard,method).
 
     The shingle store is built by a distributed pass and shared zero-copy
@@ -361,9 +375,12 @@ def verify_pairs(pairs_ds, corpus_ds, cfg: PipelineConfig):
     every pair row, which explodes exactly when there are many dups).
     With ``cfg.edit_verify``, pairs in the borderline Jaccard band get
     the token-similarity second tier and may be admitted as
-    method="edit".
+    method="edit".  ``ids`` (the distinct file ids of the pair table)
+    can be passed by callers that already collected them (the candidate
+    scan emits them for free) to skip an extra pass here.
     """
-    ids = candidate_ids(pairs_ds)
+    if ids is None:
+        ids = candidate_ids(pairs_ds)
     if ids.size == 0:
         return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
     store_ref = build_store(corpus_ds, ids, cfg)
