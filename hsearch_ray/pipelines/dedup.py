@@ -103,6 +103,7 @@ def dedup_pipeline(
     if tagged_ok:
         # resume short-circuit: upstream stages are not even constructed
         tagged = lineage.load_checkpoint(tagged_dir)
+        content_src = tagged  # file-backed; build_store materializes it
         metrics["resumed_from"] = "tagged"
         _mark("normalize")
         _mark("exact_dedup")
@@ -125,6 +126,8 @@ def dedup_pipeline(
         # tag, sign, verify store, attach) reads the pinned blocks instead
         # of re-running sha256 over the corpus.
         norm = normalize(corpus_ds).materialize()
+        content_src = norm  # already materialized: the store build scans
+        # its blocks directly (no second content copy for `kept`)
         _mark("normalize")
         tagged, _, _ = exact_dedup(norm)
         _mark("exact_dedup")
@@ -151,7 +154,7 @@ def dedup_pipeline(
         metrics.update(lsh_metrics)
         _mark("sign_band_candidates")
 
-        verified = verify_pairs(cand, kept, cfg, ids=cand_ids)
+        verified = verify_pairs(cand, content_src, cfg, ids=cand_ids)
         if pairs_dir:
             verified = lineage.write_checkpoint(
                 verified, pairs_dir, fingerprint, "pairs", metrics=metrics

@@ -28,14 +28,12 @@ import ray
 
 from hsearch_ray import hashing as H
 from hsearch_ray.config import PipelineConfig
-from hsearch_ray.stages.agg import grouped_agg
-from hsearch_ray.stages.verify import Verifier, build_store, candidate_ids
-
-PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+from hsearch_ray.stages.verify import Verifier, build_store
 
 
 def explode_fingerprints(sig_ds):
-    """signatures(with fps) -> (fp, file_id) posting rows."""
+    """signatures(with fps) -> (gkey=fp, file_id) posting rows — the
+    keyed input of the shared sorted-run pair machinery (lsh.py)."""
 
     def _explode(batch: pa.Table) -> pa.Table:
         fids = batch["file_id"].to_numpy(zero_copy_only=False)
@@ -44,31 +42,12 @@ def explode_fingerprints(sig_ds):
         flat = np.concatenate([np.asarray(f, dtype=np.int64) for f in fps]) if len(fps) else np.empty(0, np.int64)
         return pa.table(
             {
-                "fp": pa.array(flat, pa.int64()),
+                "gkey": pa.array(flat, pa.int64()),
                 "file_id": pa.array(np.repeat(fids, lens), pa.int64()),
             }
         )
 
     return sig_ds.map_batches(_explode, batch_format="pyarrow", batch_size=2048)
-
-
-def _emit_fp_pairs(cap: int):
-    def emit(group: pa.Table) -> pa.Table:
-        fids = np.unique(group["file_id"].to_numpy(zero_copy_only=False))
-        n = fids.size
-        if n < 2:
-            return PAIR_SCHEMA.empty_table()
-        if n > cap:
-            # boilerplate fingerprint (license headers etc.) — a hot key;
-            # star to min keeps cost O(n) (documented truncation)
-            a = np.full(n - 1, fids[0], dtype=np.int64)
-            return pa.table({"a": pa.array(a, pa.int64()),
-                             "b": pa.array(fids[1:], pa.int64())})
-        ii, jj = np.triu_indices(n, k=1)
-        return pa.table({"a": pa.array(fids[ii], pa.int64()),
-                         "b": pa.array(fids[jj], pa.int64())})
-
-    return emit
 
 
 class _ContainmentVerifier(Verifier):
@@ -104,38 +83,25 @@ class _ContainmentVerifier(Verifier):
 
 def containment_pairs(sig_ds, corpus_ds, cfg: PipelineConfig):
     """signatures(with fps) + corpus -> verified containment pairs
-    (a, b, containment, method).  SHUFFLEs: fp groupby + (a,b) distinct."""
-    postings = explode_fingerprints(sig_ds).materialize()
-    # prefilter singleton fingerprints (vectorized partial agg + broadcast
-    # key set) so the pair-emission groupby only moves pairable postings
-    fp_stats = grouped_agg(postings, ["fp"], {}, count_alias="n")
-    pairable = fp_stats.loc[fp_stats["n"] >= 2, "fp"].to_numpy(dtype=np.int64)
-    pairable.sort()
-    pairable_ref = ray.put(pairable)
+    (a, b, containment, method).
 
-    def _keep_pairable(batch: pa.Table) -> pa.Table:
-        from hsearch_ray.stages.verify import _in_sorted
+    Physical plan = the LSH candidate path's sorted-run machinery
+    (lsh.counted_pairs_from_keyed): one sort by fingerprint + vectorized
+    run scan (hot boilerplate fingerprints hub-starred), one sort by
+    (a, b) counting shared fingerprints per pair — no per-key Python,
+    no driver combine.  Pairs sharing >= containment_min_common
+    fingerprints are exactly verified on the shared store."""
+    from hsearch_ray.stages.lsh import counted_pairs_from_keyed
 
-        fp = batch["fp"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(_in_sorted(ray.get(pairable_ref), fp)))
-
-    raw_pairs = (
-        postings.map_batches(_keep_pairable, batch_format="pyarrow")
-        .groupby("fp")
-        .map_groups(_emit_fp_pairs(cfg.max_bucket_pairs_exhaustive), batch_format="pyarrow")
+    postings = explode_fingerprints(sig_ds)
+    counted, ids = counted_pairs_from_keyed(
+        postings, cfg.max_bucket_pairs_exhaustive
     )
-    counts = grouped_agg(raw_pairs, ["a", "b"], {}, count_alias="n_common")
-    counts = counts[counts["n_common"] >= cfg.containment_min_common]
-    if counts.empty:
-        cand = ray.data.from_arrow(
-            pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
-        )
-    else:
-        cand = ray.data.from_arrow(
-            pa.table({"a": pa.array(counts["a"].to_numpy(dtype=np.int64), pa.int64()),
-                      "b": pa.array(counts["b"].to_numpy(dtype=np.int64), pa.int64())})
-        )
-    ids = candidate_ids(cand)
+    cand = counted.filter(expr=f"n >= {cfg.containment_min_common}").map_batches(
+        lambda t: pa.table({"a": t["a"].cast(pa.int64()),
+                            "b": t["b"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
     if ids.size == 0:
         return ray.data.from_arrow(
             pa.schema(

@@ -261,6 +261,112 @@ def _emit_bucket_runs(batch: pa.Table, cap: int) -> pa.Table:
     )
 
 
+def _count_sorted_pair_block(batch: pa.Table) -> pa.Table:
+    """Within-block (a,b)-sorted scan that COUNTS duplicate pair rows
+    (pair multiplicity = number of shared keys that emitted it):
+    interior runs -> one (a, b, n) row (kind=0); block-edge pair values
+    -> partial-count rows (kind=1) summed in a tiny driver pass; distinct
+    file ids -> kind=2 (same fusion as _dedup_sorted_pair_block)."""
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("n", pa.int64()), ("kind", pa.int8())])
+    m = batch.num_rows
+    if m == 0:
+        return schema.empty_table()
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    starts = np.nonzero(
+        np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    )[0]
+    counts = np.diff(np.append(starts, m))
+    ra, rb = a[starts], b[starts]
+    edge = ((ra == a[0]) & (rb == b[0])) | ((ra == a[-1]) & (rb == b[-1]))
+    ids = np.unique(np.concatenate([ra, rb]))
+    return pa.table(
+        {
+            "a": pa.array(np.concatenate([ra[~edge], ra[edge], ids]), pa.int64()),
+            "b": pa.array(
+                np.concatenate([rb[~edge], rb[edge], np.zeros(ids.size, I64)]),
+                pa.int64(),
+            ),
+            "n": pa.array(
+                np.concatenate([counts[~edge], counts[edge],
+                                np.zeros(ids.size, I64)]).astype(I64),
+                pa.int64(),
+            ),
+            "kind": pa.array(
+                np.concatenate([np.zeros(int((~edge).sum()), np.int8),
+                                np.ones(int(edge.sum()), np.int8),
+                                np.full(ids.size, 2, np.int8)]),
+                pa.int8(),
+            ),
+        }
+    )
+
+
+def counted_pairs_from_keyed(keyed_ds, cap: int):
+    """(gkey, file_id) posting rows -> ((a, b, n) Dataset, ids) where n
+    counts the distinct keys shared by the pair.  Same physical plan as
+    the LSH candidate path: ONE sort by key + vectorized run scan (with
+    worker-side regroup of boundary runs and hub-star for hot keys),
+    then ONE sort by (a, b) with per-block run counting.  No per-key
+    Python, no driver funnel."""
+    runs = (
+        keyed_ds.sort("gkey")
+        .map_batches(_emit_bucket_runs, fn_kwargs={"cap": cap},
+                     batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = runs.filter(expr="kind == 0").map_batches(
+        _project_ab, batch_format="pyarrow"
+    )
+    spill_pairs = (
+        runs.filter(expr="kind == 1")
+        .groupby("a")
+        .map_groups(_emit_spill_group(cap), batch_format="pyarrow")
+    )
+    counted = (
+        interior.union(spill_pairs)
+        .sort(["a", "b"])
+        .map_batches(_count_sorted_pair_block, batch_size=None,
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    body = counted.filter(expr="kind == 0").map_batches(
+        lambda t: pa.table({"a": t["a"].cast(pa.int64()),
+                            "b": t["b"].cast(pa.int64()),
+                            "n": t["n"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    small = (
+        counted.filter(expr="kind != 0")
+        .map_batches(
+            lambda t: pa.table({"a": t["a"].cast(pa.int64()),
+                                "b": t["b"].cast(pa.int64()),
+                                "n": t["n"].cast(pa.int64()),
+                                "kind": t["kind"]}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    if small.empty:
+        small = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64"),
+                              "kind": pd.Series(dtype="int8")})
+    ids = np.unique(small.loc[small["kind"] == 2, "a"].to_numpy(dtype=I64))
+    spill = small[small["kind"] == 1]
+    if len(spill):
+        merged = spill.groupby(["a", "b"], as_index=False, sort=False)["n"].sum()
+        body = body.union(
+            ray.data.from_arrow(
+                pa.table({"a": pa.array(merged["a"].to_numpy(dtype=I64), pa.int64()),
+                          "b": pa.array(merged["b"].to_numpy(dtype=I64), pa.int64()),
+                          "n": pa.array(merged["n"].to_numpy(dtype=I64), pa.int64())})
+            )
+        )
+    return body, ids
+
+
 def _emit_spill_group(cap: int):
     """Pair emission for ONE regrouped boundary bucket (rows: a=gkey,
     b=file_id).  Same cold/hot policy as the block scan: all-pairs up to

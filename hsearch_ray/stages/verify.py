@@ -8,21 +8,22 @@ Jaccard over the full shingle sets (shingle *strings* are never
 materialized; SURVEY.md §4 memory rule).
 
 Data movement plan:
-  1. Candidate ids (a ∪ b, distinct) are collected — small by
-     construction (candidates << corpus).  At 10^12-file scale this
-     becomes a Bloom filter; semantics are identical.
-  2. One distributed map_batches pass over the candidate-filtered
-     corpus computes each file's sorted unique shingle array (the
-     per-bucket index build of the reference, hash_search.cpp:164-261,
-     done once per file instead of once per bucket).
-  3. Parallel remote tasks assemble id-range SHARDS of the store
-     (ids, starts, lens, values per shard) — the driver never touches
-     shingle bytes, and numpy buffers are ZERO-COPY on ray.get, so all
+  1. Candidate ids (a ∪ b, distinct) arrive from the candidate scan —
+     small by construction (candidates << corpus).  At 10^12-file scale
+     this becomes a Bloom filter; semantics are identical.
+  2. Parallel remote tasks each scan the materialized corpus blocks and
+     build one id-range SHARD of the store directly: filter to the
+     shard's candidates, shingle (the per-bucket index build of the
+     reference, hash_search.cpp:164-261, done once per file instead of
+     once per bucket), pack as (ids, starts, lens, values).  The driver
+     never touches shingle bytes; no intermediate shingle Dataset is
+     materialized; numpy buffers are ZERO-COPY on ray.get, so all
      verify tasks on a node share the same memory.
-  4. Verify tasks route lookups by shard bounds + searchsorted and
-     compute exact Jaccard with a sorted-array intersection (no
-     re-sort).  Stateless warm-worker tasks: per-task store access is a
-     local object-store lookup.
+  3. Verify tasks fetch LAZILY only the shards their batch references,
+     route lookups by shard bounds + searchsorted, and compute exact
+     Jaccard with a sorted-array intersection (no re-sort).  Stateless
+     warm-worker tasks: per-task store access is a local object-store
+     lookup.
 """
 
 from __future__ import annotations
@@ -157,91 +158,44 @@ class Verifier:
         )
 
 
-def shingle_lists(corpus_ds, ids: np.ndarray, cfg: PipelineConfig):
-    """Distributed (file_id, sh: list<int64>) shingle sets for the
-    candidate files — the join-side input of verify_pairs."""
-    ids_ref = ray.put(np.sort(ids))
-    k = cfg.shingle_k
-    canon = cfg.token_canonicalize
-
-    def _shingle(batch: pa.Table) -> pa.Table:
-        fid = batch["file_id"].to_numpy(zero_copy_only=False)
-        mask = _in_sorted(ray.get(ids_ref), fid)
-        sub = batch.filter(pa.array(mask))
-        out_f = sub["file_id"].to_numpy(zero_copy_only=False)
-        contents = sub["content"].cast(pa.large_binary()).to_pylist()
-        arrs = [
-            H.shingle_hashes(H.normalize_for_shingles(c, canon), k).view(np.int64)
-            for c in contents
-        ]
-        # packed as large_binary (LE int64 bytes): Acero hash joins don't
-        # accept nested payload columns, binary passes through fine and
-        # re-views as uint64 without copy on the other side
-        sh = pa.array([a.tobytes() for a in arrs], pa.large_binary())
-        return pa.table({"file_id": pa.array(out_f, pa.int64()), "sh": sh})
-
-    return corpus_ds.map_batches(_shingle, batch_format="pyarrow")
-
-
-def _list_views(col) -> tuple[np.ndarray, np.ndarray]:
-    """(offsets, values) numpy views of a large_binary column holding
-    packed LE-int64 shingle arrays.  Offsets are converted to element
-    units (bytes / 8).  ZERO-COPY: single-chunk columns view the chunk
-    directly — combine_chunks would copy the whole payload, and holding
-    views into per-block copies was measured to stall shard assembly by
-    an order of magnitude (allocator pressure from GBs of live copies)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
-    byte_offsets = np.frombuffer(
-        col.buffers()[1], dtype=np.int64, count=len(col) + 1, offset=col.offset * 8
-    )
-    data_buf = col.buffers()[2]
-    values = (
-        np.frombuffer(data_buf, dtype=np.uint64) if data_buf is not None and len(data_buf) else np.empty(0, np.uint64)
-    )
-    return (byte_offsets // 8).astype(np.int64), values
-
-
-def _gather_ranges(val: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Copy the concatenation of val[starts[i] : starts[i]+lens[i]] into
-    ONE owned array with a single fancy-index gather (no per-row loop,
-    no lingering views into the source buffer)."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.empty(0, dtype=val.dtype)
-    prefix = np.concatenate(([0], np.cumsum(lens[:-1])))
-    idx = np.repeat(starts - prefix, lens) + np.arange(total, dtype=np.int64)
-    return val[idx]
-
-
 @ray.remote
-def _assemble_shard(lo: int, hi: int, *blocks):
-    """Assemble one id-range shard of the shingle store from the
-    materialized shingle_lists blocks.  Reads are zero-copy from the
-    local object store; only this shard's values are copied.  The return
-    value lands in plasma automatically (it IS the shard object)."""
-    fid_parts, val_parts, len_parts = [], [], []
+def _build_shard(lo: int, hi: int, sorted_ids, k: int, canon: bool, *blocks):
+    """Build one id-range shard of the shingle store DIRECTLY from the
+    materialized corpus blocks: filter to this shard's candidate rows,
+    shingle their contents, pack (ids, starts, lens, values).
+
+    Each candidate file belongs to exactly one shard, so total shingle
+    work equals one corpus pass — but no intermediate shingle Dataset
+    ever exists (a prior design materialized ~8 bytes per corpus byte of
+    packed shingles before assembly, which pushed the object store into
+    spill exactly at the scale the store was meant to serve)."""
+    fid_parts, len_parts, val_parts = [], [], []
     for tbl in blocks:
         if tbl.num_rows == 0:
             continue
         fid = tbl["file_id"].to_numpy(zero_copy_only=False)
         mask = (fid >= lo) & (fid < hi)
+        if mask.any():
+            mask &= _in_sorted(sorted_ids, fid)
         if not mask.any():
             continue
-        off, val = _list_views(tbl["sh"])  # zero-copy views of the block
         sel = np.nonzero(mask)[0]
-        lens_sel = (off[sel + 1] - off[sel]).astype(np.int64)
+        contents = tbl.filter(pa.array(mask))["content"].cast(pa.large_binary()).to_pylist()
+        arrs = [
+            H.shingle_hashes(H.normalize_for_shingles(c, canon), k)
+            for c in contents
+        ]
         fid_parts.append(fid[sel])
-        len_parts.append(lens_sel)
-        # one vectorized gather per block; the result OWNS its memory, so
-        # no view pins the (plasma) block past this iteration
-        val_parts.append(_gather_ranges(val, off[sel], lens_sel))
+        len_parts.append(np.array([a.size for a in arrs], dtype=np.int64))
+        val_parts.append(
+            np.concatenate(arrs) if arrs else np.empty(0, np.uint64)
+        )
     if not fid_parts:
         e = np.empty(0, dtype=np.int64)
         return (e, e, e, np.empty(0, np.uint64))
     fid = np.concatenate(fid_parts)
     lens = np.concatenate(len_parts)
-    vals = np.concatenate(val_parts) if val_parts else np.empty(0, np.uint64)
+    vals = np.concatenate(val_parts)
     starts = np.zeros(fid.size + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     order = np.argsort(fid, kind="stable")
@@ -250,25 +204,31 @@ def _assemble_shard(lo: int, hi: int, *blocks):
 
 def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig,
                 num_shards: int | None = None):
-    """Sharded zero-copy shingle store: the distributed shingle pass is
-    materialized, then ``num_shards`` remote tasks each assemble one
-    id-range shard IN PARALLEL — the driver never touches shingle bytes.
-    Returns (shard_bounds: np.ndarray, shard_refs: list[ObjectRef]).
-    On a multi-node cluster the same layout lets each node cache only
-    the shards its pair partitions touch."""
+    """Sharded zero-copy shingle store: ``num_shards`` remote tasks each
+    scan the materialized corpus blocks and build one id-range shard
+    (filter -> shingle -> pack) IN PARALLEL — the driver never touches
+    shingle bytes, and no intermediate shingle Dataset is materialized
+    (each candidate file is shingled exactly once, in its shard's task).
+    The shard layout (ids, starts, lens, values) is the reference's
+    concatenated store + offsets (protein.hpp:14-39) as numpy arrays.
+    Returns a ref to (shard_bounds, shard_refs).  On a multi-node
+    cluster the same layout lets each node cache only the shards its
+    pair partitions touch."""
     import ray as _ray
 
     if num_shards is None:
-        num_shards = max(4, int(_ray.cluster_resources().get("CPU", 8)) // 2)
-    sh_ds = shingle_lists(corpus_ds, ids, cfg).materialize()
-    block_refs = [ref for ref in sh_ds.to_arrow_refs()]
+        num_shards = max(4, int(_ray.cluster_resources().get("CPU", 8)))
+    corpus_ds = corpus_ds.materialize()  # no-op when already materialized
+    block_refs = [ref for ref in corpus_ds.to_arrow_refs()]
     ids_sorted = np.sort(ids)
+    ids_ref = ray.put(ids_sorted)
     cut = np.linspace(0, ids_sorted.size, num_shards + 1).astype(np.int64)[1:-1]
     bounds = np.concatenate(
         ([np.iinfo(np.int64).min], ids_sorted[cut], [np.iinfo(np.int64).max])
     )
     shard_refs = [
-        _assemble_shard.remote(int(bounds[s]), int(bounds[s + 1]), *block_refs)
+        _build_shard.remote(int(bounds[s]), int(bounds[s + 1]), ids_ref,
+                            cfg.shingle_k, cfg.token_canonicalize, *block_refs)
         for s in range(num_shards)
     ]
     return ray.put((bounds[1:-1], shard_refs))

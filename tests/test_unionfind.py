@@ -73,3 +73,21 @@ def test_cc_hybrid_matches_distributed(ray_session):
     assert _cc_via_ray(edges, driver_threshold=0) == _cc_via_ray(
         edges, driver_threshold=10**6
     )
+
+
+def test_cc_distributed_at_scale(ray_session):
+    """The distributed star path on a 10x-plus edge set (mixed chains,
+    stars, random clumps) matches the driver union-find — and terminates
+    in bounded wall time (the vectorized-segment-scan rewrite; the old
+    per-node map_groups version would crawl here)."""
+    import time
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    edges = [(int(a), int(b)) for a, b in rng.integers(1, 900, size=(1500, 2)) if a != b]
+    edges += [(i, i + 1) for i in range(2000, 2150)]          # long chain
+    edges += [(3000, 3000 + i) for i in range(1, 200)]        # big star hub
+    t0 = time.perf_counter()
+    got = _cc_via_ray(edges, driver_threshold=0)
+    elapsed = time.perf_counter() - t0
+    assert got == _cc_expected(edges)
+    assert elapsed < 120, f"distributed CC too slow: {elapsed:.0f}s"
