@@ -296,16 +296,28 @@ def winnow_fingerprints(shingle_stream: np.ndarray, window: int) -> np.ndarray:
     return np.unique(w.min(axis=1))
 
 
-def shingle_stream(content: bytes, k: int) -> np.ndarray:
-    """Positional (non-unique) rolling-hash stream — input to winnowing."""
-    b = np.frombuffer(content, dtype=np.uint8)
+def rolling_hash(b: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized k-byte polynomial rolling hash over a uint8 array:
+    out[p] = hash of b[p : p+k] for every position.  One pass of k
+    multiply-adds over the WHOLE array — callers batching many documents
+    hash their concatenated buffer once and slice per document (windows
+    crossing document boundaries are simply not sliced)."""
     n = b.size - k + 1
     if n <= 0:
-        if b.size == 0:
-            return np.empty(0, dtype=U64)
-        n, k = 1, b.size
+        return np.empty(0, dtype=U64)
     with np.errstate(**_ERRSTATE):
         acc = np.zeros(n, dtype=U64)
         for j in range(k):
             acc = (acc * _POLY_BASE + b[j : j + n]) & _MASK64
     return splitmix64(acc)
+
+
+def shingle_stream(content: bytes, k: int) -> np.ndarray:
+    """Positional (non-unique) rolling-hash stream — input to winnowing.
+    Contents shorter than k hash as one whole-content shingle."""
+    b = np.frombuffer(content, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=U64)
+    if b.size < k:
+        k = b.size
+    return rolling_hash(b, k)

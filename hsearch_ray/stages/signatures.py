@@ -47,20 +47,63 @@ class Signer:
             return H.minhash_oph(uniq, cfg.num_perms, cfg.seed)
         return H.minhash_signature(uniq, self.a, self.b)
 
+    def _streams(self, batch: pa.Table) -> list[np.ndarray]:
+        """Per-doc positional shingle-hash streams.
+
+        Fast path (no CR bytes, no canonicalization): ONE vectorized
+        rolling-hash pass over the column's concatenated data buffer —
+        the Arrow layout IS the reference's concatenated store
+        (protein.hpp:14-39), so per-doc streams are just slices whose
+        windows don't cross doc boundaries.  Values are bit-identical to
+        the per-doc kernel (a window's hash depends only on its k
+        bytes).  Falls back to the per-doc path when CRLF normalization
+        or token canonicalization must edit bytes first."""
+        cfg = self.cfg
+        col = batch["content"].cast(pa.large_binary())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        off = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                            count=len(col) + 1, offset=col.offset * 8)
+        buf = col.buffers()[2]
+        data = (np.frombuffer(buf, dtype=np.uint8)
+                if buf is not None and len(buf) else np.empty(0, np.uint8))
+        # a sliced column VIEWS its parent's buffers: restrict to this
+        # slice's byte range or every batch re-hashes the whole parent
+        data = data[off[0] : off[-1]]
+        off = off - off[0]
+        k = cfg.shingle_k
+        if cfg.token_canonicalize or bool((data == 13).any()):
+            return [
+                H.shingle_stream(
+                    H.normalize_for_shingles(
+                        data[off[i]:off[i + 1]].tobytes(), cfg.token_canonicalize
+                    ),
+                    k,
+                )
+                for i in range(len(col))
+            ]
+        full = H.rolling_hash(data, k)  # one pass over the whole buffer
+        out = []
+        for i in range(len(col)):
+            s, e = off[i], off[i + 1]
+            if e - s >= k:
+                out.append(full[s : e - k + 1])
+            else:  # short-content special case matches shingle_stream
+                out.append(H.shingle_stream(data[s:e].tobytes(), k))
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         fids = batch["file_id"].to_numpy(zero_copy_only=False)
-        contents = batch["content"].cast(pa.large_binary()).to_pylist()
-        n = len(contents)
+        streams = self._streams(batch)
+        n = len(streams)
         sigs = np.full((n, cfg.num_perms), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
         simh = np.zeros(n, dtype=np.uint64)
         nsh = np.empty(n, dtype=I64)
         fps: list[np.ndarray] = []
         uniqs: list[np.ndarray] = []
         nonempty: list[int] = []
-        for i, raw in enumerate(contents):
-            norm = H.normalize_for_shingles(raw, cfg.token_canonicalize)
-            stream = H.shingle_stream(norm, cfg.shingle_k)
+        for i, stream in enumerate(streams):
             uniq = np.unique(stream)
             nsh[i] = uniq.size
             if uniq.size:
