@@ -617,6 +617,31 @@ def _load_queries(sf_dir: str, n: int = 10) -> dict[int, np.ndarray]:
     return {int(v): flat[i] for i, v in enumerate(vid) if mask[i]}
 
 
+def q_simhash_dup_pairs_docs(sf_dir: str):
+    """SimHash near-dup pairs over documents: hamming(simhash) <= 3 via
+    4-chunk blocking (pigeonhole recall = 1; brute-force-equality is the
+    pytest gate — bit-level hashing is not SQL-expressible, rows-only
+    driver check)."""
+    from hsearch_ray.stages.lsh import simhash_dup_pairs
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.signatures import sign
+
+    cfg = PipelineConfig()
+    sigs = sign(normalize(_docs_as_corpus(sf_dir)), cfg, with_simhash=True)
+    return simhash_dup_pairs(sigs.select_columns(["file_id", "simhash"]))
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (a, b) with cosine >= 0.45 — the
+    dedup use of the similarity search path.  0.45 is a demonstration
+    threshold: the synthetic embeddings are near-random (max pairwise
+    cosine ~0.51), so a production-style 0.9 would be vacuous here."""
+    from hsearch_ray.stages.ann import cosine_dup_pairs
+
+    emb = _read(sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, threshold=0.45)
+
+
 def q_ann_topk(sf_dir: str):
     """Exact brute-force cosine top-5 for query vectors vec_id<10 (J2)."""
     from hsearch_ray.stages.ann import brute_force_topk
@@ -657,6 +682,8 @@ QUERIES = {
     "recall_eval_docs": q_recall_eval_docs,
     "cluster_radius_docs": q_cluster_radius_docs,
     "tsv_lang_count_docs": q_tsv_lang_count_docs,
+    "simhash_dup_pairs_docs": q_simhash_dup_pairs_docs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "explode_lines_docs": q_explode_lines_docs,
@@ -929,6 +956,12 @@ ORACLE_SQL = {
                CAST(max(p_size) AS BIGINT) AS max_size,
                CAST(sum(CAST(floor(p_retailprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_c
         FROM part GROUP BY p_brand
+    """,
+    "embedding_dup_pairs": """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
     """,
     "ann_topk": """
         WITH sims AS (

@@ -94,6 +94,43 @@ def brute_force_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5):
     return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
 
+def cosine_dup_pairs(emb_ds, threshold: float, id_col: str = "vec_id"):
+    """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
+    cosine similarity >= threshold.  The normalized matrix is broadcast
+    once (ray.put) and every batch emits its pairs from one matmul block
+    — the exact O(n^2/p) baseline; the scale path is the hyperplane-
+    bucketed variant (lsh_topk's coder) with per-bucket matmuls.
+    Output: (a, b) only — pair identity, not scores, is the dedup
+    contract (score formulas differ at the last ulp across engines)."""
+    import pyarrow.parquet  # noqa: F401  (parity with _load_queries env)
+
+    pdf = emb_ds.to_pandas()
+    ids = pdf[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids, mat / norms))
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_norm = ray.get(ref)  # zero-copy numpy
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        emb = _embedding_matrix(batch)
+        bn = np.linalg.norm(emb, axis=1, keepdims=True)
+        bn[bn == 0] = 1.0
+        sims = (emb / bn) @ all_norm.T  # (batch, n)
+        hit = sims >= threshold
+        # canonical a < b and no self-pairs: keep only columns with a
+        # LARGER id than the row's, so each pair is emitted exactly once
+        hit &= bids[:, None] < all_ids[None, :]
+        r, c = np.nonzero(hit)
+        return pa.table({"a": pa.array(bids[r], pa.int64()),
+                         "b": pa.array(all_ids[c], pa.int64())})
+
+    return emb_ds.map_batches(_pairs, batch_format="pyarrow", batch_size=2048)
+
+
 class _HyperplaneCoder:
     """vec -> nbits-bit random-hyperplane code (seeded)."""
 

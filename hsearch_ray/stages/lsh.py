@@ -388,6 +388,69 @@ def _emit_spill_group(cap: int):
     return emit
 
 
+def simhash_dup_pairs(sig_ds, max_hamming: int = 3, num_bands: int = 4,
+                      cap: int | None = None):
+    """SimHash near-duplicate pairs (the M5/F4 fingerprint used as a
+    DEDUP method, not just a column): the 64-bit fingerprint splits into
+    ``num_bands`` chunks; documents agreeing on any chunk are candidates
+    (one sorted-run scan, same machinery as the MinHash path); exact
+    popcount verification keeps pairs with hamming <= max_hamming.
+
+    Recall is EXACTLY 1 by pigeonhole: max_hamming < num_bands differing
+    bits cannot touch all chunks, so every qualifying pair shares at
+    least one chunk (tested against the brute-force oracle).
+
+    Output: (a, b, hamming).  The simhash map is broadcast (8B/doc); at
+    the scale where that outgrows a node, route lookups through the
+    id-range sharded store exactly like the Jaccard verifier."""
+    bits = 64 // num_bands
+    mask = np.uint64((1 << bits) - 1)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        fid = batch["file_id"].to_numpy(zero_copy_only=False)
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        keys, fids = [], []
+        for band in range(num_bands):
+            chunk = (sh >> np.uint64(band * bits)) & mask
+            keys.append(
+                (np.int64(band) << np.int64(48)) | chunk.astype(np.int64)
+            )
+            fids.append(fid)
+        return pa.table({"gkey": pa.array(np.concatenate(keys), pa.int64()),
+                         "file_id": pa.array(np.concatenate(fids), pa.int64())})
+
+    # cap=None -> exhaustive pair emission (exact recall; required for
+    # the brute-force-equality contract).  Pass a cap to hub-star
+    # boilerplate chunks when pair TRUNCATION is acceptable (clustering).
+    keyed = sig_ds.map_batches(_explode, batch_format="pyarrow")
+    cand, _ = counted_pairs_from_keyed(keyed, cap=cap if cap else 1 << 30)
+
+    sig_pdf = sig_ds.map_batches(
+        lambda t: pa.table({"file_id": t["file_id"].cast(pa.int64()),
+                            "simhash": t["simhash"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).to_pandas()
+    skeys = sig_pdf["file_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(skeys, kind="stable")
+    skeys = skeys[order]
+    svals = sig_pdf["simhash"].to_numpy(dtype=np.int64)[order].view(np.uint64)
+    ref = ray.put((skeys, svals))
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        ha = vals[np.searchsorted(keys, a)]
+        hb = vals[np.searchsorted(keys, b)]
+        d = np.asarray(H.hamming64(ha, hb))
+        keep = d <= max_hamming
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "hamming": pa.array(d[keep].astype(I64), pa.int64())})
+
+    return cand.map_batches(_verify, batch_format="pyarrow", batch_size=65536)
+
+
 def candidate_pairs(banded_ds, cfg: PipelineConfig):
     """banded rows -> distinct candidate pair Dataset (a < b) + metrics.
 

@@ -190,6 +190,54 @@ def featurize_media(ds, concurrency=(1, 4), batch_size: int = 64):
     )
 
 
+def resize_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize of a decoded (H, W, C) float array —
+    pure-numpy index gather (the resize kernel a PIL-backed
+    implementation would replace)."""
+    H_, W_, _ = img.shape
+    rows = np.minimum((np.arange(h) * H_ / h).astype(np.int64), H_ - 1)
+    cols = np.minimum((np.arange(w) * W_ / w).astype(np.int64), W_ - 1)
+    return img[rows[:, None], cols[None, :], :]
+
+
+def resize_images(ds, height: int = 32, width: int = 32,
+                  concurrency=(1, 4), batch_size: int = 64):
+    """Image resize stage: decode (real PNG decoder) -> nearest-neighbor
+    resize -> flat float32 pixel column + digest.  Rows whose mime can't
+    be really decoded to (H, W, C) pixels pass through with
+    resized=False (same honest-stub discipline as the featurizer)."""
+
+    class _Resizer:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            payloads = batch["media"].cast(pa.large_binary()).to_pylist()
+            mimes = batch["mime"].to_pylist()
+            out_digest, out_ok, out_px = [], [], []
+            for p, m in zip(payloads, mimes):
+                out_digest.append(H.sha256_hex(p))
+                try:
+                    img = decode_media(p, m)
+                    if img.ndim != 3:
+                        raise MediaDecodeError("not a pixel grid")
+                    small = resize_nearest(img, height, width)
+                    out_ok.append(True)
+                    out_px.append(small.astype(np.float32).ravel())
+                except MediaDecodeError:
+                    out_ok.append(False)
+                    out_px.append(np.zeros(0, dtype=np.float32))
+            return pa.table(
+                {
+                    "digest": pa.array(out_digest, pa.string()),
+                    "resized": pa.array(out_ok, pa.bool_()),
+                    "pixels": pa.array([px.tolist() for px in out_px],
+                                       pa.list_(pa.float32())),
+                }
+            )
+
+    return ds.map_batches(_Resizer, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          num_cpus=1)
+
+
 def frame_sample(ds, every_n: int = 10, batch_size: int = 64):
     """Video frame-sampling plumbing: 1 media row -> ceil(frames/every_n)
     sampled-frame rows.  Frame extraction itself is the stubbed decode;

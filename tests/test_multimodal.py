@@ -197,3 +197,27 @@ def test_frame_sample_explosion(ray_session):
     # 25 frames, every 10th -> frames 0,10,20 => 3 rows per media row
     assert len(out) == 12
     assert sorted({r["frame_no"] for r in out}) == [0, 10, 20]
+
+def test_resize_images(ray_session):
+    """Decode -> nearest resize over a real PNG; audio rows pass through
+    un-resized."""
+    import ray.data
+
+    from hsearch_ray.stages.multimodal import decode_png, resize_images, resize_nearest
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    img = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+    png = _make_png(img.astype(np.int32), (0, 1, 2, 3, 4))
+    tbl = pa.table(
+        {
+            "media": pa.array([png, _make_wav()], pa.binary()),
+            "mime": pa.array(["image/png", "audio/wav"], pa.string()),
+            "meta": pa.array(["{}"] * 2, pa.string()),
+        }
+    )
+    out = resize_images(ray.data.from_arrow(tbl), height=4, width=4).take_all()
+    by_ok = {bool(r["resized"]): r for r in out}
+    assert len(by_ok[True]["pixels"]) == 4 * 4 * 3
+    want = resize_nearest(decode_png(png), 4, 4).astype(np.float32).ravel()
+    np.testing.assert_allclose(by_ok[True]["pixels"], want, atol=1e-7)
+    assert len(by_ok[False]["pixels"]) == 0  # audio is not a pixel grid
