@@ -50,3 +50,39 @@ def test_write_pair_report(ray_session, tiny_corpus, tmp_path):
     assert len(lines) == n + 1
     a, b, score, method = lines[1].split("\t")
     assert int(a) < int(b) and 0.0 <= float(score) <= 1.0
+
+
+def test_cli_dedup_roundtrip(tmp_path):
+    """python -m hsearch_ray dedup: end-to-end CLI over parquet, with
+    checkpointed resume (separate Ray session per invocation)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq2
+
+    from hsearch_ray.corpus import generate_corpus
+
+    corpus, _ = generate_corpus(n_files=60, seed=21)
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    pq2.write_table(corpus, str(cdir / "part-0.parquet"))
+
+    def run():
+        out = subprocess.run(
+            [sys.executable, "-m", "hsearch_ray", "dedup",
+             "--input", str(cdir), "--out", str(tmp_path / "out"),
+             "--checkpoint", str(tmp_path / "ckpt"),
+             "--input-tag", "t", "--num-cpus", "4"],
+            capture_output=True, text=True, check=True, cwd="/root/repo",
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    s1 = run()
+    assert s1["clusters_rows"] == 60
+    c1 = pq2.read_table(s1["clusters"]).to_pydict()
+    s2 = run()  # resumes from the checkpoints; identical output
+    c2 = pq2.read_table(s2["clusters"]).to_pydict()
+    assert sorted(zip(c1["file_id"], c1["cluster_id"])) == sorted(
+        zip(c2["file_id"], c2["cluster_id"])
+    )

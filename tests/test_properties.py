@@ -87,3 +87,28 @@ def test_pairs_within_runs_canonical(vals, cap):
         key_of.setdefault(int(f), set()).add(int(k))
     for x, y in zip(a, b):
         assert key_of[int(x)] & key_of[int(y)]
+
+
+@given(st.lists(st.binary(min_size=0, max_size=60), min_size=1, max_size=30),
+       st.integers(2, 12))
+@settings(max_examples=40, deadline=None)
+def test_batched_rolling_hash_equals_per_doc(docs, k):
+    """The batched signing fast path (one rolling hash over the
+    concatenated buffer, boundary-safe slices) must produce EXACTLY the
+    per-doc stream for every document — the invariant that keeps the
+    distributed path bit-identical to the reference oracle."""
+    import pyarrow as pa
+
+    from hsearch_ray import hashing as H
+
+    data = np.frombuffer(b"".join(docs), dtype=np.uint8)
+    off = np.cumsum([0] + [len(d) for d in docs])
+    full = H.rolling_hash(data, k)
+    for i, d in enumerate(docs):
+        want = H.shingle_stream(d, k)
+        s, e = off[i], off[i + 1]
+        if e - s >= k:
+            got = full[s : e - k + 1]
+        else:
+            got = H.shingle_stream(d, k)  # short-content special case
+        assert np.array_equal(got, want)
