@@ -180,6 +180,47 @@ def minhash_oph(shingles: np.ndarray, num_bins: int, seed: int) -> np.ndarray:
     return splitmix64(sig ^ (np.arange(num_bins, dtype=U64) * _SM_M1))
 
 
+def batch_minhash_oph(allsh: np.ndarray, offsets: np.ndarray,
+                      num_bins: int, seed: int) -> np.ndarray:
+    """minhash_oph for many documents in one vectorized pass —
+    BIT-IDENTICAL to the per-document kernel (property-tested).
+
+    ``allsh`` concatenates each doc's SORTED-unique shingle array (all
+    docs non-empty), ``offsets`` the start index per doc.  Because each
+    doc's values are ascending and a value's bin is its top bits, the
+    (doc, bin) key is non-decreasing over the concatenation; run starts
+    therefore mark every non-empty bin's minimum.  Densification (the
+    cyclic next-non-empty fill) and the final per-bin mix are computed
+    as whole-matrix operations."""
+    if num_bins & (num_bins - 1):
+        raise ValueError("num_bins must be a power of two")
+    ndocs = offsets.size
+    shift = np.uint64(64 - int(np.log2(num_bins)))
+    counts = np.diff(np.append(offsets, allsh.size))
+    doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+    bins = (allsh >> shift).astype(np.int64)
+    combined = doc_idx * num_bins + bins
+    starts = np.nonzero(np.concatenate(([True], combined[1:] != combined[:-1])))[0]
+    mat = np.zeros(ndocs * num_bins, dtype=U64)
+    ne = np.zeros(ndocs * num_bins, dtype=bool)
+    mat[combined[starts]] = allsh[starts]
+    ne[combined[starts]] = True
+    mat = mat.reshape(ndocs, num_bins)
+    ne = ne.reshape(ndocs, num_bins)
+    if not ne.all():
+        col = np.arange(num_bins, dtype=np.int64)
+        # next non-empty column >= j (cyclic): right-to-left suffix min of
+        # positions, wrapping to the row's first non-empty + num_bins
+        pos = np.where(ne, col[None, :], 2 * num_bins)
+        sufmin = np.minimum.accumulate(pos[:, ::-1], axis=1)[:, ::-1]
+        first_ne = sufmin[:, :1]  # min position == first non-empty column
+        nxt = np.where(sufmin < num_bins, sufmin, first_ne + num_bins) % num_bins
+        rows = np.arange(ndocs, dtype=np.int64)[:, None]
+        fill = splitmix64(mat[rows, nxt] ^ (col[None, :].astype(U64) * _SM_GAMMA))
+        mat = np.where(ne, mat, fill)
+    return splitmix64(mat ^ (np.arange(num_bins, dtype=U64)[None, :] * _SM_M1))
+
+
 _BIT_SHIFTS = np.arange(64, dtype=U64)
 
 

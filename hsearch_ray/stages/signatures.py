@@ -41,12 +41,6 @@ class Signer:
         else:
             self.a = self.b = None
 
-    def _signature(self, uniq: np.ndarray) -> np.ndarray:
-        cfg = self.cfg
-        if cfg.minhash_scheme == "oph":
-            return H.minhash_oph(uniq, cfg.num_perms, cfg.seed)
-        return H.minhash_signature(uniq, self.a, self.b)
-
     def _streams(self, batch: pa.Table) -> list[np.ndarray]:
         """Per-doc positional shingle-hash streams.
 
@@ -109,16 +103,23 @@ class Signer:
             if uniq.size:
                 nonempty.append(i)
                 uniqs.append(uniq)
-                sigs[i] = self._signature(uniq)
             if self.with_fps:
                 fps.append(H.winnow_fingerprints(stream, cfg.winnow_window).view(I64))
-        if self.with_simhash and nonempty:
-            # simhash is O(64·n) memory traffic — computed only when a
-            # consumer asks (the dedup path doesn't need it)
+        if nonempty:
+            # both minhash schemes sign the whole batch in ONE call over
+            # the concatenated unique-shingle arrays (per-doc 128-wide
+            # numpy calls were 75% of signing time)
             allsh = np.concatenate(uniqs)
             offsets = np.cumsum([0] + [u.size for u in uniqs[:-1]], dtype=np.int64)
             idx = np.array(nonempty, dtype=np.int64)
-            simh[idx] = H.batch_simhash(allsh, offsets)
+            if cfg.minhash_scheme == "oph":
+                sigs[idx] = H.batch_minhash_oph(allsh, offsets, cfg.num_perms, cfg.seed)
+            else:
+                sigs[idx] = H.batch_minhash(allsh, offsets, self.a, self.b)
+            if self.with_simhash:
+                # simhash is O(64·n) memory traffic — computed only when
+                # a consumer asks (the dedup path doesn't need it)
+                simh[idx] = H.batch_simhash(allsh, offsets)
         cols = {
             "file_id": pa.array(fids, pa.int64()),
             "nshingles": pa.array(nsh, pa.int64()),

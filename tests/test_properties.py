@@ -112,3 +112,19 @@ def test_batched_rolling_hash_equals_per_doc(docs, k):
         else:
             got = H.shingle_stream(d, k)  # short-content special case
         assert np.array_equal(got, want)
+
+
+@given(st.lists(st.lists(uint63, min_size=1, max_size=120), min_size=1, max_size=20),
+       st.sampled_from([16, 64, 128]))
+@settings(max_examples=30, deadline=None)
+def test_batch_oph_equals_per_doc(doc_vals, nbins):
+    """batch_minhash_oph must be bit-identical to the per-doc kernel for
+    arbitrary sorted-unique inputs (incl. docs clustered in one bin)."""
+    from hsearch_ray import hashing as H
+
+    docs = [np.unique(np.array(v, dtype=np.uint64)) for v in doc_vals]
+    allsh = np.concatenate(docs)
+    offsets = np.cumsum([0] + [d.size for d in docs[:-1]], dtype=np.int64)
+    got = H.batch_minhash_oph(allsh, offsets, nbins, 42)
+    for i, d in enumerate(docs):
+        assert np.array_equal(got[i], H.minhash_oph(d, nbins, 42))
