@@ -81,10 +81,16 @@ def dedup_pipeline(
     if checkpoint_dir and input_tag is None:
         raise ValueError("checkpoint_dir requires input_tag (input identity "
                          "is part of the checkpoint fingerprint)")
+    # EVERY knob that can change the checkpointed tables belongs here —
+    # a missing knob means a config change silently resumes stale data
     fingerprint = (
         f"input={input_tag},seed={cfg.seed},k={cfg.shingle_k},"
         f"perms={cfg.num_perms},bands={cfg.num_bands},thr={cfg.jaccard_threshold},"
-        f"scheme={cfg.minhash_scheme},canon={cfg.token_canonicalize}"
+        f"scheme={cfg.minhash_scheme},canon={cfg.token_canonicalize},"
+        f"edit={cfg.edit_verify}:{cfg.edit_band}:{cfg.edit_sim_threshold},"
+        f"len={cfg.min_content_len}:{cfg.max_content_len},"
+        f"skew={cfg.max_bucket_pairs_exhaustive}:{cfg.hot_bucket_window},"
+        f"prefilter={cfg.use_simhash_prefilter}:{cfg.prefilter_hamming}"
     )
     tagged_dir = f"{checkpoint_dir}/tagged" if checkpoint_dir else None
     pairs_dir = f"{checkpoint_dir}/pairs" if checkpoint_dir else None

@@ -267,11 +267,17 @@ def q_orders_by_nation(sf_dir: str):
     def _attach(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
         ck, cn, nkeys, nname = ray.get(ref)
         ok = df["o_custkey"].to_numpy(dtype=np.int64)
-        nk = cn[np.searchsorted(ck, ok)]
+        # clamped membership probe (the _in_sorted pattern): an o_custkey
+        # absent from customer must DROP, not silently take a neighbor
+        pos = np.minimum(np.searchsorted(ck, ok), ck.size - 1)
+        hit = ck[pos] == ok
+        nk = cn[pos[hit]]
+        npos = np.minimum(np.searchsorted(nkeys, nk), nkeys.size - 1)
+        nhit = nkeys[npos] == nk
         return pd.DataFrame(
             {
-                "nation": nname[np.searchsorted(nkeys, nk)],
-                "price_c": _cents(df["o_totalprice"]),
+                "nation": nname[npos[nhit]],
+                "price_c": _cents(df["o_totalprice"])[hit][nhit],
             }
         )
 
@@ -586,7 +592,13 @@ def q_tsv_lang_count_docs(sf_dir: str):
 
     import ray.data
 
-    tsv_dir = f"/tmp/graft_tsv_{os.path.basename(sf_dir.rstrip('/'))}"
+    # cache keyed by the parquet's content identity (mtime+size), not just
+    # the sf_dir basename — regenerated testdata at the same path must not
+    # silently reuse a stale TSV export
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_mtime_ns}_{st.st_size}"
+    tsv_dir = f"/tmp/graft_tsv_{tag}"
     marker = tsv_dir + "/.done"
     if not os.path.exists(marker):
         os.makedirs(tsv_dir, exist_ok=True)

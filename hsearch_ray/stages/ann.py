@@ -1,4 +1,4 @@
-"""Approximate-nearest-neighbor search over an embedding column.
+"""Similarity search + embedding-cosine dedup over an embedding column.
 
 The reference's query-vs-DB probe (J2: Pfam centers probed against all
 k-mer LSH tables, /root/reference/hclust/src/hclust/kmer_search.cpp:85-127)
@@ -10,13 +10,39 @@ re-expressed for dense vectors:
     groupby merges partials.  This is the exact baseline; wall-time is
     one matmul per (batch x queries) block and the shuffle only moves
     k rows per (query, batch).
-  * LSH-bucketed variant (random-hyperplane SimHash over vectors, the
-    analog of the reference's KLSH cosine family,
-    pcluster/src/pcluster/lsh.cpp:17-49) — probes only same-bucket
-    vectors; recall < 1 by design, scale path for 10^9+ rows.
+  * L-table LSH-bucketed variant (random-hyperplane SimHash over
+    vectors — the analog of the reference's KLSH cosine family,
+    pcluster/src/pcluster/lsh.cpp:17-49, with the reference's L-table
+    union-of-candidates discipline, hclust2.cpp:102-133) — probes only
+    vectors colliding with the query in ANY table; recall < 1 by
+    design, pinned by test; scale path for 10^9+ rows.
+
+Embedding-cosine DEDUP has two physical plans, routed by threshold:
+
+  * ``cosine_dup_pairs`` (exact, any threshold) — the all-pairs join is
+    distributed as a BLOCK-PAIR GRID over an id-range-sharded
+    normalized-vector store: S remote tasks build the shards from the
+    dataset's Arrow blocks (the driver never materializes the table),
+    then S·(S+1)/2 grid tasks each fetch exactly two shards (zero-copy
+    numpy from the object store) and emit their qualifying pairs from
+    one matmul.  Compute is O(n²/p) — intrinsic for exact low-threshold
+    cosine joins — but memory per task is two shards and nothing is
+    driver-side or broadcast-whole.
+  * ``cosine_dup_pairs_lsh`` (approximate-candidates + exact verify) —
+    hyperplane-band candidate generation through the shared sorted-run
+    pair machinery (lsh.counted_pairs_from_keyed), then exact cosine
+    verification of candidate pairs only, fetching only the vector
+    shards a batch references.  This is the 100-TB path for PRODUCTION
+    thresholds (>= ~0.8, where collision probability separates sharply
+    from random).  At low thresholds (e.g. the 0.45 demo threshold:
+    boundary collision p=0.65/bit vs 0.5/bit random) no banding scheme
+    filters without recall loss — use the exact grid there.  Recall vs
+    the brute arm is pinned by a planted-near-dup pytest.
 """
 
 from __future__ import annotations
+
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -94,41 +120,112 @@ def brute_force_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5):
     return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
 
-def cosine_dup_pairs(emb_ds, threshold: float, id_col: str = "vec_id"):
+# ------------------------------------------------------------------ vector store
+
+
+@ray.remote
+def _build_vec_shard(lo: int, hi: int, id_col: str, *blocks):
+    """One id-range shard of the NORMALIZED embedding store, built
+    directly from the dataset's Arrow blocks (same discipline as the
+    shingle store, stages/verify.py:_build_shard): the driver never
+    touches vector bytes.  Returns (ids_sorted, unit_matrix)."""
+    id_parts, mat_parts = [], []
+    for tbl in blocks:
+        if tbl.num_rows == 0:
+            continue
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        mask = (ids >= lo) & (ids < hi)
+        if not mask.any():
+            continue
+        sub = tbl.filter(pa.array(mask))
+        m = _embedding_matrix(sub)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        id_parts.append(ids[mask].astype(np.int64))
+        mat_parts.append(m / norms)
+    if not id_parts:
+        return np.empty(0, np.int64), np.empty((0, 0), np.float64)
+    ids = np.concatenate(id_parts)
+    mat = np.vstack(mat_parts)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
+
+
+def build_vec_store(emb_ds, id_col: str = "vec_id", num_shards: int | None = None):
+    """Id-range-sharded normalized-vector store.
+
+    Shard bounds come from one narrow distributed (min, max) pass over
+    the id column (ids need not be dense; equal-width ranges over the
+    observed span — id skew makes shards uneven but never incorrect).
+    Returns (bounds, shard_refs, materialized_ds):
+      bounds[i] = inclusive lower id of shard i (len = num_shards + 1,
+      last = max + 1)."""
+    if num_shards is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # block-pair grid wants S(S+1)/2 >= cpus work units
+        num_shards = max(2, int(np.ceil(np.sqrt(2 * cpus))))
+    emb_ds = emb_ds.materialize()
+
+    def _mm(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(ids.min())], pa.int64()),
+                         "hi": pa.array([int(ids.max())], pa.int64())})
+
+    mm = emb_ds.map_batches(_mm, batch_format="pyarrow").to_pandas()
+    if mm.empty:
+        return np.array([0, 1], dtype=np.int64), [], emb_ds
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    bounds = np.unique(np.linspace(lo, hi + 1, num_shards + 1).astype(np.int64))
+    block_refs = list(emb_ds.to_arrow_refs())
+    shard_refs = [
+        _build_vec_shard.remote(int(bounds[s]), int(bounds[s + 1]), id_col, *block_refs)
+        for s in range(len(bounds) - 1)
+    ]
+    return bounds, shard_refs, emb_ds
+
+
+def cosine_dup_pairs(emb_ds, threshold: float, id_col: str = "vec_id",
+                     num_shards: int | None = None):
     """Embedding-cosine near-duplicate pairs: all (a, b), a < b, with
-    cosine similarity >= threshold.  The normalized matrix is broadcast
-    once (ray.put) and every batch emits its pairs from one matmul block
-    — the exact O(n^2/p) baseline; the scale path is the hyperplane-
-    bucketed variant (lsh_topk's coder) with per-bucket matmuls.
+    cosine similarity >= threshold — EXACT, via the distributed
+    block-pair grid over the sharded vector store (module docstring).
     Output: (a, b) only — pair identity, not scores, is the dedup
     contract (score formulas differ at the last ulp across engines)."""
-    import pyarrow.parquet  # noqa: F401  (parity with _load_queries env)
+    bounds, shard_refs, _ = build_vec_store(emb_ds, id_col, num_shards)
+    S = len(shard_refs)
+    if S == 0:
+        return ray.data.from_arrow(
+            pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        )
+    refs_ref = ray.put(shard_refs)
+    gi, gj = np.triu_indices(S)  # i <= j: id-range order makes a < b free
+    grid = ray.data.from_arrow(
+        pa.table({"i": pa.array(gi, pa.int64()), "j": pa.array(gj, pa.int64())})
+    ).repartition(gi.size)
 
-    pdf = emb_ds.to_pandas()
-    ids = pdf[id_col].to_numpy(dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    mat = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    ref = ray.put((ids, mat / norms))
+    def _grid_pairs(batch: pa.Table) -> pa.Table:
+        refs = ray.get(refs_ref)
+        out_a, out_b = [], []
+        for i, j in zip(batch["i"].to_pylist(), batch["j"].to_pylist()):
+            ids_i, mat_i = ray.get(refs[i])  # zero-copy numpy
+            ids_j, mat_j = ray.get(refs[j])
+            if ids_i.size == 0 or ids_j.size == 0:
+                continue
+            hit = (mat_i @ mat_j.T) >= threshold
+            if i == j:
+                hit &= ids_i[:, None] < ids_j[None, :]
+            r, c = np.nonzero(hit)
+            out_a.append(ids_i[r])
+            out_b.append(ids_j[c])
+        if not out_a:
+            return pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        return pa.table({"a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "b": pa.array(np.concatenate(out_b), pa.int64())})
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_norm = ray.get(ref)  # zero-copy numpy
-        bids = batch[id_col].to_numpy(zero_copy_only=False)
-        emb = _embedding_matrix(batch)
-        bn = np.linalg.norm(emb, axis=1, keepdims=True)
-        bn[bn == 0] = 1.0
-        sims = (emb / bn) @ all_norm.T  # (batch, n)
-        hit = sims >= threshold
-        # canonical a < b and no self-pairs: keep only columns with a
-        # LARGER id than the row's, so each pair is emitted exactly once
-        hit &= bids[:, None] < all_ids[None, :]
-        r, c = np.nonzero(hit)
-        return pa.table({"a": pa.array(bids[r], pa.int64()),
-                         "b": pa.array(all_ids[c], pa.int64())})
-
-    return emb_ds.map_batches(_pairs, batch_format="pyarrow", batch_size=2048)
+    return grid.map_batches(_grid_pairs, batch_format="pyarrow", batch_size=1)
 
 
 class _HyperplaneCoder:
@@ -143,54 +240,167 @@ class _HyperplaneCoder:
         return (bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))).astype(np.int64)
 
 
+def cosine_dup_pairs_lsh(emb_ds, threshold: float, id_col: str = "vec_id",
+                         nbits: int = 16, ntables: int = 8, seed: int = 42,
+                         cap: int = 4096, num_shards: int | None = None):
+    """Scale-path cosine dedup for HIGH thresholds: L-table hyperplane-
+    band candidates + exact cosine verify of candidates only.
+
+    Candidate generation reuses the LSH sorted-run machinery
+    (lsh.counted_pairs_from_keyed — one key sort + vectorized run scan,
+    hub-star above ``cap``); verification fetches only the vector
+    shards a pair batch references (<= a few per batch: candidates
+    arrive a-sorted).  Recall < 1 by LSH math — (1 - p^nbits)^ntables
+    miss probability at collision rate p = 1 - theta/pi — pinned by a
+    planted-fixture pytest against the brute arm.  Reference analog:
+    KLSH pre-bucketing before alignment,
+    pcluster/src/pcluster/pcluster.cpp:13-34."""
+    from hsearch_ray.stages.lsh import counted_pairs_from_keyed
+
+    bounds, shard_refs, emb_mat = build_vec_store(emb_ds, id_col, num_shards)
+    if not shard_refs:
+        return ray.data.from_arrow(
+            pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        )
+    store_ref = ray.put((bounds, shard_refs))
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, fids = [], []
+        for t in range(ntables):
+            coder = _cached_coder(m.shape[1], nbits, seed + 7919 * t)
+            code = coder.code(m)  # non-negative, < 2^nbits
+            keys.append(H.splitmix64(
+                code.astype(np.uint64) + np.uint64(0xA5A5 * (t + 1))
+            ).view(np.int64))
+            fids.append(ids)
+        return pa.table({"gkey": pa.array(np.concatenate(keys), pa.int64()),
+                         "file_id": pa.array(np.concatenate(fids), pa.int64())})
+
+    keyed = emb_mat.map_batches(_explode, batch_format="pyarrow", batch_size=8192)
+    cand, _ = counted_pairs_from_keyed(keyed, cap=cap)
+
+    class _CosVerify:
+        """Lazy per-batch shard fetch (the Jaccard Verifier's pattern,
+        stages/verify.py:73) + one vectorized row-dot per batch."""
+
+        def __init__(self):
+            self.bounds, self.refs = ray.get(store_ref)
+            self._shards: dict[int, tuple] = {}
+
+        def _shard(self, s: int):
+            t = self._shards.get(s)
+            if t is None:
+                t = self._shards[s] = ray.get(self.refs[s])
+            return t
+
+        def _gather(self, x: np.ndarray):
+            sh = np.searchsorted(self.bounds[1:-1], x, side="right") \
+                if self.bounds.size > 2 else np.zeros(x.size, np.int64)
+            out = None
+            ok = np.zeros(x.size, dtype=bool)
+            for s in np.unique(sh):
+                ids_s, mat_s = self._shard(int(s))
+                rows = np.nonzero(sh == s)[0]
+                if ids_s.size == 0:
+                    continue
+                if out is None:
+                    out = np.zeros((x.size, mat_s.shape[1]))
+                p = np.minimum(np.searchsorted(ids_s, x[rows]), ids_s.size - 1)
+                hit = ids_s[p] == x[rows]
+                out[rows[hit]] = mat_s[p[hit]]
+                ok[rows[hit]] = True
+            if out is None:
+                out = np.zeros((x.size, 1))
+            return out, ok
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            va, oka = self._gather(a)
+            vb, okb = self._gather(b)
+            sims = np.einsum("ij,ij->i", va, vb)
+            keep = oka & okb & (sims >= threshold)
+            return pa.table({"a": pa.array(a[keep], pa.int64()),
+                             "b": pa.array(b[keep], pa.int64())})
+
+    return cand.map_batches(_CosVerify, batch_format="pyarrow",
+                            batch_size=65536, concurrency=(1, 8))
+
+
+@lru_cache(maxsize=64)
+def _cached_coder(dim: int, nbits: int, seed: int) -> _HyperplaneCoder:
+    """Per-process coder cache: plane matrices are regenerated from the
+    seed on each worker instead of shipped (T1/T2 discipline)."""
+    return _HyperplaneCoder(dim, nbits, seed)
+
+
 def lsh_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
-             nbits: int = 8, seed: int = 42, multiprobe: int = 1):
-    """Bucketed ANN: only vectors whose hyperplane code is within
-    ``multiprobe`` bit flips of the query's code are scored (classic
-    multi-probe LSH — neighboring buckets differ in the bits whose
-    hyperplane margin is smallest, so probing Hamming-1 buckets recovers
-    most of the single-probe misses for (1+nbits)x the candidate pool).
+             nbits: int = 8, seed: int = 42, multiprobe: int = 1,
+             ntables: int = 4):
+    """Bucketed ANN with the reference's L-table discipline
+    (hclust2.cpp:102-133): ``ntables`` independent hyperplane codebooks;
+    a vector is scored for a query if it collides in ANY table (union of
+    candidates), with classic Hamming-1 multiprobe per table.
     Approximate by design; recall vs brute force is pinned by a test."""
     qd = {int(i): np.asarray(v, dtype=np.float64) for i, v in query_vectors.items()}
     dim = len(next(iter(qd.values())))
-    coder = _HyperplaneCoder(dim, nbits, seed)
-    qcodes: dict[int, list[int]] = {}
-    for qid, v in qd.items():
-        base = int(coder.code(v[None, :])[0])
-        codes = [base]
-        if multiprobe >= 1:
-            codes += [base ^ (1 << b) for b in range(nbits)]
-        for code in codes:
-            qcodes.setdefault(code, []).append(qid)
-    ref = ray.put((qd, qcodes))
+    qids_sorted = sorted(qd)
+    # per-table {code -> [query rank]} probe maps, built once on the driver
+    probe_maps: list[dict[int, list[int]]] = []
+    for t in range(ntables):
+        coder = _HyperplaneCoder(dim, nbits, seed + 7919 * t)
+        qc: dict[int, list[int]] = {}
+        for rank, qid in enumerate(qids_sorted):
+            base = int(coder.code(qd[qid][None, :])[0])
+            codes = [base]
+            if multiprobe >= 1:
+                codes += [base ^ (1 << b) for b in range(nbits)]
+            for code in codes:
+                qc.setdefault(code, []).append(rank)
+        probe_maps.append(qc)
+    ref = ray.put((qd, qids_sorted, probe_maps))
 
     class _BucketScore:
         def __init__(self):
-            self.qd, self.qcodes = ray.get(ref)
-            self.coder = _HyperplaneCoder(dim, nbits, seed)
+            self.qd, self.qids, self.probe_maps = ray.get(ref)
+            self.coders = [
+                _cached_coder(dim, nbits, seed + 7919 * t) for t in range(ntables)
+            ]
+            qm = np.stack([self.qd[q] for q in self.qids])
+            self.qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             emb = _embedding_matrix(batch)
             vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            codes = self.coder.code(emb)
+            n, nq = emb.shape[0], len(self.qids)
+            cand = np.zeros((nq, n), dtype=bool)  # union over tables
+            for t in range(ntables):
+                codes = self.coders[t].code(emb)
+                for code, ranks in self.probe_maps[t].items():
+                    rows = codes == code
+                    if not rows.any():
+                        continue
+                    for r in ranks:
+                        cand[r] |= rows
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            embn = emb / norms
             out_q, out_v, out_s = [], [], []
-            for code, qids in self.qcodes.items():
-                mask = codes == code
-                if not mask.any():
+            for r, qid in enumerate(self.qids):
+                rows = np.nonzero(cand[r] & (vids != qid))[0]
+                if rows.size == 0:
                     continue
-                sub, subids = emb[mask], vids[mask]
-                norms = np.linalg.norm(sub, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
-                subn = sub / norms
-                for qid in qids:
-                    qv = self.qd[qid]
-                    sims = subn @ (qv / np.linalg.norm(qv))
-                    sel = subids != qid
-                    idx = np.nonzero(sel)[0]
-                    take = idx[np.argsort(-sims[idx], kind="stable")][:k]
-                    out_q.extend([qid] * len(take))
-                    out_v.extend(int(v) for v in subids[take])
-                    out_s.extend(np.round(sims[take], 6))
+                sims = np.round(embn[rows] @ self.qnorm[r], 6)
+                sel = np.lexsort((vids[rows], -sims))[:k]
+                take = rows[sel]
+                out_q.extend([qid] * len(take))
+                out_v.extend(int(v) for v in vids[take])
+                out_s.extend(sims[sel])
             return pa.table(
                 {
                     "query_id": pa.array(out_q, pa.int64()),

@@ -45,9 +45,17 @@ def _void_keys(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return arr.view(V16).reshape(-1)
 
 
+_PARTIAL_SCHEMA = pa.schema(
+    [("sha_hi", pa.int64()), ("sha_lo", pa.int64()),
+     ("min_fid", pa.int64()), ("n", pa.int64())]
+)
+
+
 def _sha_partial(batch: pa.Table) -> pa.Table:
     """(sha_hi, sha_lo, min file_id, count) partial rows — one per
     distinct key per batch, fully vectorized."""
+    if batch.num_rows == 0:  # empty blocks occur post-sort/filter
+        return _PARTIAL_SCHEMA.empty_table()
     hi = batch["sha_hi"].to_numpy(zero_copy_only=False)
     lo = batch["sha_lo"].to_numpy(zero_copy_only=False)
     fid = batch["file_id"].to_numpy(zero_copy_only=False)

@@ -22,3 +22,130 @@ def test_lsh_topk_multiprobe_recall(ray_session, tmp_path):
     r0, r1 = recall(0), recall(1)
     assert r1 > r0  # multiprobe recovers single-probe misses
     assert r1 >= 0.15  # near-random embeddings: weak but measured floor
+
+
+def _local_cosine_pairs(ids, mat, threshold):
+    """Driver-local all-pairs oracle (test-only)."""
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (mat / norms) @ (mat / norms).T
+    hit = (sims >= threshold) & (ids[:, None] < ids[None, :])
+    r, c = np.nonzero(hit)
+    return set(zip(ids[r].tolist(), ids[c].tolist()))
+
+
+def test_cosine_grid_matches_local_brute(ray_session):
+    """The distributed block-pair grid (ann.cosine_dup_pairs) must emit
+    EXACTLY the same pair set as a driver-local all-pairs pass — the
+    grid is a physical-plan change only, never a semantic one."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from hsearch_ray.stages.ann import cosine_dup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    mat = np.vstack(t["embedding"].to_pylist()).astype(np.float64)
+    want = _local_cosine_pairs(ids, mat, 0.45)
+    assert want  # fixture sanity: threshold must produce pairs
+
+    got = cosine_dup_pairs(
+        ray.data.read_parquet(f"{sf}/embeddings.parquet"),
+        threshold=0.45, num_shards=4,
+    ).to_pandas()
+    assert set(zip(got["a"], got["b"])) == want
+    # canonical orientation
+    assert (got["a"] < got["b"]).all()
+
+
+def test_cosine_grid_empty_input(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from hsearch_ray.stages.ann import cosine_dup_pairs
+
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    got = cosine_dup_pairs(empty, threshold=0.5).to_pandas()
+    assert len(got) == 0
+
+
+def _planted_embeddings(n=240, dim=32, n_dups=24, seed=11):
+    """n base unit vectors + n_dups planted near-dups (cosine >= ~0.97);
+    random 32-d vectors are near-orthogonal so non-planted pairs stay
+    far below any high threshold."""
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dup_src = rng.choice(n, size=n_dups, replace=False)
+    dups = base[dup_src] + 0.05 * rng.standard_normal((n_dups, dim))
+    mat = np.vstack([base, dups])
+    ids = np.arange(mat.shape[0], dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([r.astype(np.float32) for r in mat],
+                              pa.list_(pa.float32())),
+    })
+    return ids, mat, tbl
+
+
+def test_cosine_lsh_recall_and_precision(ray_session):
+    """The scale path (hyperplane-band candidates + exact verify) must
+    have perfect precision (verify is exact cosine) and high recall on
+    planted near-dups at a production-grade threshold."""
+    import numpy as np
+    import ray.data
+
+    from hsearch_ray.stages.ann import cosine_dup_pairs_lsh
+
+    ids, mat, tbl = _planted_embeddings()
+    thr = 0.9
+    want = _local_cosine_pairs(ids, mat.astype(np.float64), thr)
+    assert len(want) >= 20  # planted dups survive the threshold
+
+    got = cosine_dup_pairs_lsh(
+        ray.data.from_arrow([tbl.slice(0, 150), tbl.slice(150)]),
+        threshold=thr, num_shards=3,
+    ).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs <= want  # exact verify -> precision 1.0
+    recall = len(got_pairs & want) / len(want)
+    assert recall >= 0.9
+
+
+def test_lsh_topk_more_tables_improve_recall(ray_session):
+    """L-table union-of-candidates (the reference's multi-table
+    discipline, hclust2.cpp:102-133): recall is monotone-ish in L;
+    pin that 4 tables beat 1 on the same input."""
+    import numpy as np
+    import ray.data
+
+    from hsearch_ray.stages.ann import brute_force_topk, lsh_topk
+
+    ids, mat, tbl = _planted_embeddings(seed=23)
+    rng = np.random.Generator(np.random.PCG64(5))
+    q = {int(i): mat[i] + 0.05 * rng.standard_normal(mat.shape[1])
+         for i in rng.choice(ids.size, size=8, replace=False)}
+    ds = lambda: ray.data.from_arrow([tbl.slice(0, 150), tbl.slice(150)])  # noqa: E731
+    bf = brute_force_topk(ds(), q, k=5).to_pandas()
+    want = set(zip(bf["query_id"], bf["neighbor_id"]))
+
+    def recall(L):
+        got = lsh_topk(ds(), q, k=5, ntables=L).to_pandas()
+        return len(want & set(zip(got["query_id"], got["neighbor_id"]))) / len(want)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1
+    # deterministic (seeded): measured 0.525 @ L=4 vs lower @ L=1; most
+    # top-5 tail entries are near-random neighbors in 32-d, so full
+    # top-5 recall is intrinsically modest at nbits=8
+    assert r4 >= 0.5
