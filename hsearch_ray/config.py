@@ -28,10 +28,13 @@ class PipelineConfig:
     # --- SimHash fingerprint (analog of the 512-dim frequency vector
     #     + cosine-LSH bits, pcluster/lsh.cpp:40-49) ---
     simhash_bits: int = 64
-    simhash_hamming_max: int = 3   # prefilter: pairs farther than this skip exact verify? no —
-    # NOTE: simhash is a *cheap precision lever*: pairs passing LSH but with
-    # hamming > prefilter_hamming skip exact verification only when
-    # ``use_simhash_prefilter`` is set (lossy; off by default for recall).
+    simhash_hamming_max: int = 3   # chunk-blocking verify bound (simhash_dup_pairs)
+    # Cheap precision lever (wired in Verifier.__call__, stages/verify.py):
+    # with ``use_simhash_prefilter`` on, candidate pairs whose stored-shingle
+    # SimHashes differ by more than ``prefilter_hamming`` bits skip exact
+    # Jaccard entirely — the reference's cheap-then-exact two-tier verify
+    # (pcluster.cpp:34 -> hash_search.cpp:593-599).  Lossy; off by default
+    # for recall.
     use_simhash_prefilter: bool = False
     prefilter_hamming: int = 16
     # --- verification (analog of exact distance <= R, kmer_search.cpp:107-111) ---
@@ -43,7 +46,12 @@ class PipelineConfig:
     containment_threshold: float = 0.5  # |A ∩ B| / min(|A|,|B|) over shingle sets
     # --- skew handling (the reference's unhandled weak point, pcluster.cpp:37-66) ---
     max_bucket_pairs_exhaustive: int = 64   # buckets up to this size emit all pairs
-    hot_bucket_window: int = 4              # larger buckets: star to min + simhash-sorted ring window
+    # Larger (hub-starred) buckets additionally emit a ring-window recovery
+    # pass (wired in lsh._emit_bucket_runs): members sorted by simhash when
+    # the banded rows carry one (sign(..., with_simhash=True)), else by
+    # file id; each member pairs with its `window` ring successors.  0
+    # disables recovery (star edges only).
+    hot_bucket_window: int = 4
     # --- similarity-space normalization (M6 analog: compressed-alphabet
     #     encode, pcluster/src/pcluster/hash_search.cpp:34-75 murphy10 —
     #     matching robust to symbol-level churn).  For code, the churn is

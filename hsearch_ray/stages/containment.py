@@ -26,7 +26,6 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from hsearch_ray import hashing as H
 from hsearch_ray.config import PipelineConfig
 from hsearch_ray.stages.verify import Verifier, build_store
 
@@ -62,21 +61,29 @@ class _ContainmentVerifier(Verifier):
         sa_idx, pa_pos, a_ok, na = self._locate(a)
         sb_idx, pb_pos, b_ok, nb = self._locate(b)
         candidates = np.nonzero(a_ok & b_ok & (na > 0) & (nb > 0))[0]
-        oa, ob, oc = [], [], []
-        for i in candidates:
-            sa = self._slice(sa_idx[i], pa_pos[i])
-            sb = self._slice(sb_idx[i], pb_pos[i])
-            c = H.intersect_count(sa, sb) / min(sa.size, sb.size)
-            if c >= thr:
-                oa.append(int(a[i]))
-                ob.append(int(b[i]))
-                oc.append(c)
+        if candidates.size == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "containment": pa.array([], pa.float64()),
+                    "method": pa.array([], pa.string()),
+                }
+            )
+        # one vectorized gather+merge pass for the whole batch (shared
+        # with the Jaccard verifier; VERDICT-r2 item 5)
+        inter = self._pair_intersections(
+            candidates, sa_idx, pa_pos, sb_idx, pb_pos, na, nb
+        )
+        c_val = inter / np.minimum(na[candidates], nb[candidates])
+        adm = c_val >= thr
+        sel = candidates[adm]
         return pa.table(
             {
-                "a": pa.array(oa, pa.int64()),
-                "b": pa.array(ob, pa.int64()),
-                "containment": pa.array(oc, pa.float64()),
-                "method": pa.array(["containment"] * len(oa), pa.string()),
+                "a": pa.array(a[sel], pa.int64()),
+                "b": pa.array(b[sel], pa.int64()),
+                "containment": pa.array(c_val[adm], pa.float64()),
+                "method": pa.array(["containment"] * sel.size, pa.string()),
             }
         )
 

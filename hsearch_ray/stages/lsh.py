@@ -51,15 +51,19 @@ def _band_explode_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     n = sigs.shape[0]
     bh = H.band_hashes(sigs, cfg.num_bands, cfg.rows_per_band)  # (n, bands) uint64
     fids = batch["file_id"].to_numpy(zero_copy_only=False)
-    return pa.table(
-        {
-            "file_id": pa.array(np.repeat(fids, cfg.num_bands), pa.int64()),
-            "band": pa.array(
-                np.tile(np.arange(cfg.num_bands, dtype=I64), n), pa.int64()
-            ),
-            "band_hash": pa.array(bh.ravel().view(I64), pa.int64()),
-        }
-    )
+    cols = {
+        "file_id": pa.array(np.repeat(fids, cfg.num_bands), pa.int64()),
+        "band": pa.array(
+            np.tile(np.arange(cfg.num_bands, dtype=I64), n), pa.int64()
+        ),
+        "band_hash": pa.array(bh.ravel().view(I64), pa.int64()),
+    }
+    if cfg.hot_bucket_window > 0 and "simhash" in batch.column_names:
+        # ring order key for hot-bucket recovery: carried only when the
+        # signature stage computed simhash (sign(..., with_simhash=True))
+        sh = batch["simhash"].to_numpy(zero_copy_only=False)
+        cols["ord"] = pa.array(np.repeat(sh, cfg.num_bands), pa.int64())
+    return pa.table(cols)
 
 
 def band_explode(sig_ds, cfg: PipelineConfig):
@@ -195,12 +199,38 @@ def distinct_pairs(pairs_ds):
     return interior, n, ids
 
 
-def _emit_bucket_runs(batch: pa.Table, cap: int) -> pa.Table:
+def _ring_window_pairs(members: np.ndarray, order_key: np.ndarray, window: int):
+    """Pair-level recall recovery for ONE hub-starred hot bucket
+    (cfg.hot_bucket_window): members sorted by (order_key, member); each
+    member pairs with its ``window`` successors on the CIRCULAR ring.
+    O(n·window) pairs.  With a similarity-correlated order key (simhash,
+    carried as the optional "ord" posting column) near-dups land
+    adjacent, so most true pairs inside the bucket are recovered; with
+    no "ord" column the ring runs in file-id order (deterministic, but
+    recovery is positional only)."""
+    l = members.size
+    if l < 2 or window <= 0:
+        return np.empty(0, I64), np.empty(0, I64)
+    order = np.lexsort((members, order_key))
+    m = members[order]
+    outs_a, outs_b = [], []
+    for d in range(1, min(window, l - 1) + 1):
+        y = np.roll(m, -d)
+        lo, hi = np.minimum(m, y), np.maximum(m, y)
+        keep = lo != hi
+        outs_a.append(lo[keep])
+        outs_b.append(hi[keep])
+    return np.concatenate(outs_a), np.concatenate(outs_b)
+
+
+def _emit_bucket_runs(batch: pa.Table, cap: int, window: int = 0) -> pa.Table:
     """Process one (gkey)-sorted block in a single vectorized pass:
 
       * interior runs of size 2..cap -> ALL pairs (offset-distance trick)
       * interior runs of size > cap  -> hub-star edges (run-min as hub),
-        O(n) instead of O(n^2) — the skew path; truncation is flagged
+        O(n) instead of O(n^2) — the skew path; truncation is flagged —
+        plus, with ``window`` > 0, a ring-window recovery pass per hot
+        run (simhash-sorted when the "ord" column is present)
       * boundary runs (touching block edges; may continue next door)
         -> spill postings (kind=1) for one tiny driver pass
       * per-block bucket-size histogram rows (kind=2: a=run_len, b=count)
@@ -215,8 +245,11 @@ def _emit_bucket_runs(batch: pa.Table, cap: int) -> pa.Table:
         return schema.empty_table()
     k = batch["gkey"].to_numpy(zero_copy_only=False)
     f = batch["file_id"].to_numpy(zero_copy_only=False)
+    o = (batch["ord"].to_numpy(zero_copy_only=False)
+         if "ord" in batch.column_names else None)
     boundary = (k == k[0]) | (k == k[-1])
     ki, fi = k[~boundary], f[~boundary]
+    oi = o[~boundary] if o is not None else None
     out_a, out_b, out_kind = [], [], []
     if ki.size:
         # run segmentation
@@ -236,10 +269,11 @@ def _emit_bucket_runs(batch: pa.Table, cap: int) -> pa.Table:
             out_a.append(pa_)
             out_b.append(pb_)
             out_kind.append(np.zeros(pa_.size, np.int8))
-        # hot runs: hub-star to run minimum
+        # hot runs: hub-star to run minimum (+ optional ring recovery)
         hot_mask = row_len > cap
         if hot_mask.any():
             kh, fh = ki[hot_mask], fi[hot_mask]
+            oh = oi[hot_mask] if oi is not None else None
             hstarts = np.nonzero(np.concatenate(([True], kh[1:] != kh[:-1])))[0]
             hmins = np.minimum.reduceat(fh, hstarts)
             hlens = np.diff(np.append(hstarts, kh.size))
@@ -248,6 +282,16 @@ def _emit_bucket_runs(batch: pa.Table, cap: int) -> pa.Table:
             out_a.append(np.minimum(hubs[keep], fh[keep]))
             out_b.append(np.maximum(hubs[keep], fh[keep]))
             out_kind.append(np.zeros(int(keep.sum()), np.int8))
+            if window > 0:
+                # loop over hot RUNS (rare by construction), vectorized
+                # inside each
+                for s, l in zip(hstarts, hlens):
+                    mem = fh[s:s + l]
+                    okey = oh[s:s + l] if oh is not None else mem
+                    ra, rb = _ring_window_pairs(mem, okey, window)
+                    out_a.append(ra)
+                    out_b.append(rb)
+                    out_kind.append(np.zeros(ra.size, np.int8))
     sb, fb = k[boundary], f[boundary]
     out_a.append(sb)
     out_b.append(fb)
@@ -303,16 +347,17 @@ def _count_sorted_pair_block(batch: pa.Table) -> pa.Table:
     )
 
 
-def counted_pairs_from_keyed(keyed_ds, cap: int):
-    """(gkey, file_id) posting rows -> ((a, b, n) Dataset, ids) where n
-    counts the distinct keys shared by the pair.  Same physical plan as
-    the LSH candidate path: ONE sort by key + vectorized run scan (with
-    worker-side regroup of boundary runs and hub-star for hot keys),
-    then ONE sort by (a, b) with per-block run counting.  No per-key
-    Python, no driver funnel."""
+def counted_pairs_from_keyed(keyed_ds, cap: int, window: int = 0):
+    """(gkey, file_id[, ord]) posting rows -> ((a, b, n) Dataset, ids)
+    where n counts the distinct keys shared by the pair.  Same physical
+    plan as the LSH candidate path: ONE sort by key + vectorized run
+    scan (with worker-side regroup of boundary runs and hub-star +
+    optional ring-window recovery for hot keys), then ONE sort by
+    (a, b) with per-block run counting.  No per-key Python, no driver
+    funnel."""
     runs = (
         keyed_ds.sort("gkey")
-        .map_batches(_emit_bucket_runs, fn_kwargs={"cap": cap},
+        .map_batches(_emit_bucket_runs, fn_kwargs={"cap": cap, "window": window},
                      batch_size=None, batch_format="pyarrow")
         .materialize()
     )
@@ -322,7 +367,7 @@ def counted_pairs_from_keyed(keyed_ds, cap: int):
     spill_pairs = (
         runs.filter(expr="kind == 1")
         .groupby("a")
-        .map_groups(_emit_spill_group(cap), batch_format="pyarrow")
+        .map_groups(_emit_spill_group(cap, window), batch_format="pyarrow")
     )
     counted = (
         interior.union(spill_pairs)
@@ -367,11 +412,13 @@ def counted_pairs_from_keyed(keyed_ds, cap: int):
     return body, ids
 
 
-def _emit_spill_group(cap: int):
+def _emit_spill_group(cap: int, window: int = 0):
     """Pair emission for ONE regrouped boundary bucket (rows: a=gkey,
     b=file_id).  Same cold/hot policy as the block scan: all-pairs up to
     ``cap`` members, hub-star above (a mega-bucket spanning many blocks
-    stays O(n) and never ships to the driver)."""
+    stays O(n) and never ships to the driver) plus the ring-window
+    recovery pass (file-id order — the "ord" key does not survive the
+    spill posting's narrow (gkey, file_id) schema)."""
 
     def emit(group: pa.Table) -> pa.Table:
         fids = np.unique(group["b"].to_numpy(zero_copy_only=False))
@@ -379,8 +426,14 @@ def _emit_spill_group(cap: int):
         if n < 2:
             return PAIR_SCHEMA.empty_table()
         if n > cap:
-            return pa.table({"a": pa.array(np.full(n - 1, fids[0]), pa.int64()),
-                             "b": pa.array(fids[1:], pa.int64())})
+            a = np.full(n - 1, fids[0])
+            b = fids[1:]
+            if window > 0:
+                ra, rb = _ring_window_pairs(fids, fids, window)
+                a = np.concatenate([a, ra])
+                b = np.concatenate([b, rb])
+            return pa.table({"a": pa.array(a, pa.int64()),
+                             "b": pa.array(b, pa.int64())})
         ii, jj = np.triu_indices(n, k=1)
         return pa.table({"a": pa.array(fids[ii], pa.int64()),
                          "b": pa.array(fids[jj], pa.int64())})
@@ -388,23 +441,121 @@ def _emit_spill_group(cap: int):
     return emit
 
 
+@ray.remote
+def _build_kv_shard(lo: int, hi: int, key_col: str, val_col: str, *blocks):
+    """One id-range shard of an int64 -> int64 map, built directly from
+    Arrow block refs (the driver never materializes the table).  Returns
+    (keys_sorted, vals)."""
+    kp, vp = [], []
+    for tbl in blocks:
+        if tbl.num_rows == 0:
+            continue
+        k = tbl[key_col].to_numpy(zero_copy_only=False)
+        m = (k >= lo) & (k < hi)
+        if not m.any():
+            continue
+        kp.append(k[m].astype(np.int64))
+        vp.append(tbl[val_col].to_numpy(zero_copy_only=False)[m].astype(np.int64))
+    if not kp:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    k = np.concatenate(kp)
+    v = np.concatenate(vp)
+    order = np.argsort(k, kind="stable")
+    return k[order], v[order]
+
+
+def build_kv_store(ds, key_col: str, val_col: str,
+                   num_shards: int | None = None):
+    """Id-range-sharded int64 -> int64 store over a Dataset column pair
+    (the Jaccard verifier's store discipline for scalar maps): shard
+    bounds from one narrow (min, max) pass; S remote builders over the
+    block refs.  Returns (bounds, shard_refs) — bounds[1:-1] are the
+    interior cut points for searchsorted routing."""
+    if num_shards is None:
+        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    ds = ds.materialize()
+
+    def _mm(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(k.min())], pa.int64()),
+                         "hi": pa.array([int(k.max())], pa.int64())})
+
+    mm = ds.map_batches(_mm, batch_format="pyarrow").to_pandas()
+    if mm.empty:
+        return np.empty(0, np.int64), []
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    bounds = np.unique(
+        np.linspace(lo, min(hi, np.iinfo(np.int64).max - 1) + 1,
+                    num_shards + 1).astype(np.int64)
+    )
+    block_refs = list(ds.to_arrow_refs())
+    shard_refs = [
+        _build_kv_shard.remote(int(bounds[s]), int(bounds[s + 1]),
+                               key_col, val_col, *block_refs)
+        for s in range(len(bounds) - 1)
+    ]
+    return bounds, shard_refs
+
+
+class _ShardedKvLookup:
+    """Lazy per-batch shard fetch for a build_kv_store map (the Jaccard
+    Verifier's access pattern): a task ray.gets only the shards its
+    batch references; numpy buffers are zero-copy from the object
+    store."""
+
+    def __init__(self, store_ref):
+        self.bounds, self.refs = ray.get(store_ref)
+        self._shards: dict[int, tuple] = {}
+
+    def lookup(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(values, found) for an int64 key array."""
+        out = np.zeros(x.size, dtype=np.int64)
+        ok = np.zeros(x.size, dtype=bool)
+        if not self.refs:
+            return out, ok
+        sh = (np.searchsorted(self.bounds[1:-1], x, side="right")
+              if self.bounds.size > 2 else np.zeros(x.size, np.int64))
+        for s in np.unique(sh):
+            t = self._shards.get(int(s))
+            if t is None:
+                t = self._shards[int(s)] = ray.get(self.refs[int(s)])
+            keys_s, vals_s = t
+            if keys_s.size == 0:
+                continue
+            rows = np.nonzero(sh == s)[0]
+            p = np.minimum(np.searchsorted(keys_s, x[rows]), keys_s.size - 1)
+            hit = keys_s[p] == x[rows]
+            out[rows[hit]] = vals_s[p[hit]]
+            ok[rows[hit]] = True
+        return out, ok
+
+
 def simhash_dup_pairs(sig_ds, max_hamming: int = 3, num_bands: int = 4,
-                      cap: int | None = None):
+                      cap: int | None = 4096, window: int = 8,
+                      num_shards: int | None = None):
     """SimHash near-duplicate pairs (the M5/F4 fingerprint used as a
     DEDUP method, not just a column): the 64-bit fingerprint splits into
     ``num_bands`` chunks; documents agreeing on any chunk are candidates
     (one sorted-run scan, same machinery as the MinHash path); exact
     popcount verification keeps pairs with hamming <= max_hamming.
 
-    Recall is EXACTLY 1 by pigeonhole: max_hamming < num_bands differing
-    bits cannot touch all chunks, so every qualifying pair shares at
-    least one chunk (tested against the brute-force oracle).
+    Recall is EXACTLY 1 by pigeonhole below the ``cap``: max_hamming <
+    num_bands differing bits cannot touch all chunks, so every
+    qualifying pair shares at least one chunk (tested against the
+    brute-force oracle).  A chunk shared by MORE than ``cap`` documents
+    (boilerplate) is hub-starred + ring-window-recovered instead of
+    emitting O(m²) pairs — pass ``cap=None`` for the exhaustive contract
+    when the corpus is known boilerplate-free.
 
-    Output: (a, b, hamming).  The simhash map is broadcast (8B/doc); at
-    the scale where that outgrows a node, route lookups through the
-    id-range sharded store exactly like the Jaccard verifier."""
+    Output: (a, b, hamming).  Simhash lookups route through the
+    id-range sharded kv store (build_kv_store) with lazy per-batch
+    shard fetch — nothing is broadcast whole, nothing is driver-side."""
     bits = 64 // num_bands
     mask = np.uint64((1 << bits) - 1)
+    sig_ds = sig_ds.materialize()
 
     def _explode(batch: pa.Table) -> pa.Table:
         fid = batch["file_id"].to_numpy(zero_copy_only=False)
@@ -417,38 +568,34 @@ def simhash_dup_pairs(sig_ds, max_hamming: int = 3, num_bands: int = 4,
             )
             fids.append(fid)
         return pa.table({"gkey": pa.array(np.concatenate(keys), pa.int64()),
-                         "file_id": pa.array(np.concatenate(fids), pa.int64())})
+                         "file_id": pa.array(np.concatenate(fids), pa.int64()),
+                         "ord": pa.array(np.tile(sh.view(np.int64), num_bands),
+                                         pa.int64())})
 
-    # cap=None -> exhaustive pair emission (exact recall; required for
-    # the brute-force-equality contract).  Pass a cap to hub-star
-    # boilerplate chunks when pair TRUNCATION is acceptable (clustering).
     keyed = sig_ds.map_batches(_explode, batch_format="pyarrow")
-    cand, _ = counted_pairs_from_keyed(keyed, cap=cap if cap else 1 << 30)
+    cand, _ = counted_pairs_from_keyed(
+        keyed, cap=cap if cap else 1 << 30, window=window if cap else 0
+    )
 
-    sig_pdf = sig_ds.map_batches(
-        lambda t: pa.table({"file_id": t["file_id"].cast(pa.int64()),
-                            "simhash": t["simhash"].cast(pa.int64())}),
-        batch_format="pyarrow",
-    ).to_pandas()
-    skeys = sig_pdf["file_id"].to_numpy(dtype=np.int64)
-    order = np.argsort(skeys, kind="stable")
-    skeys = skeys[order]
-    svals = sig_pdf["simhash"].to_numpy(dtype=np.int64)[order].view(np.uint64)
-    ref = ray.put((skeys, svals))
+    store_ref = ray.put(build_kv_store(sig_ds, "file_id", "simhash", num_shards))
 
-    def _verify(batch: pa.Table) -> pa.Table:
-        keys, vals = ray.get(ref)
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        ha = vals[np.searchsorted(keys, a)]
-        hb = vals[np.searchsorted(keys, b)]
-        d = np.asarray(H.hamming64(ha, hb))
-        keep = d <= max_hamming
-        return pa.table({"a": pa.array(a[keep], pa.int64()),
-                         "b": pa.array(b[keep], pa.int64()),
-                         "hamming": pa.array(d[keep].astype(I64), pa.int64())})
+    class _HammingVerify(_ShardedKvLookup):
+        def __init__(self):
+            super().__init__(store_ref)
 
-    return cand.map_batches(_verify, batch_format="pyarrow", batch_size=65536)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            ha, oka = self.lookup(a)
+            hb, okb = self.lookup(b)
+            d = np.asarray(H.hamming64(ha.view(np.uint64), hb.view(np.uint64)))
+            keep = oka & okb & (d <= max_hamming)
+            return pa.table({"a": pa.array(a[keep], pa.int64()),
+                             "b": pa.array(b[keep], pa.int64()),
+                             "hamming": pa.array(d[keep].astype(I64), pa.int64())})
+
+    return cand.map_batches(_HammingVerify, batch_format="pyarrow",
+                            batch_size=65536, concurrency=(1, 8))
 
 
 def candidate_pairs(banded_ds, cfg: PipelineConfig):
@@ -464,21 +611,23 @@ def candidate_pairs(banded_ds, cfg: PipelineConfig):
     Driver traffic: bucket-size histogram rows only.
     """
     cap = cfg.max_bucket_pairs_exhaustive
+    window = cfg.hot_bucket_window
 
     def _to_gkey(batch: pa.Table) -> pa.Table:
         band = batch["band"].to_numpy(zero_copy_only=False)
         bh = batch["band_hash"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "gkey": pa.array(_packed_keys(band, bh).view(I64), pa.int64()),
-                "file_id": batch["file_id"].cast(pa.int64()),
-            }
-        )
+        cols = {
+            "gkey": pa.array(_packed_keys(band, bh).view(I64), pa.int64()),
+            "file_id": batch["file_id"].cast(pa.int64()),
+        }
+        if "ord" in batch.column_names:  # simhash ring order for hot buckets
+            cols["ord"] = batch["ord"].cast(pa.int64())
+        return pa.table(cols)
 
     runs = (
         banded_ds.map_batches(_to_gkey, batch_format="pyarrow")
         .sort("gkey")
-        .map_batches(_emit_bucket_runs, fn_kwargs={"cap": cap},
+        .map_batches(_emit_bucket_runs, fn_kwargs={"cap": cap, "window": window},
                      batch_size=None, batch_format="pyarrow")
         .materialize()
     )
@@ -491,7 +640,7 @@ def candidate_pairs(banded_ds, cfg: PipelineConfig):
     spill_pairs = (
         runs.filter(expr="kind == 1")
         .groupby("a")
-        .map_groups(_emit_spill_group(cap), batch_format="pyarrow")
+        .map_groups(_emit_spill_group(cap, window), batch_format="pyarrow")
     )
     pair_ds = interior.union(spill_pairs)
 

@@ -50,6 +50,40 @@ def _in_sorted(sorted_ids: np.ndarray, x: np.ndarray) -> np.ndarray:
     return sorted_ids[pos] == x
 
 
+def _concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Indices of the concatenation of ranges [starts[i], starts[i]+lens[i])
+    — fully vectorized (the standard ones+cumsum trick).  Zero-length
+    ranges are skipped (callers pass matching starts/lens pairs to both
+    source and destination, so correspondence is preserved)."""
+    nz = lens > 0
+    if not nz.all():
+        starts, lens = starts[nz], lens[nz]
+    if starts.size == 0:
+        return np.empty(0, np.int64)
+    out = np.ones(int(lens.sum()), dtype=np.int64)
+    out[0] = starts[0]
+    if starts.size > 1:
+        ends = np.cumsum(lens)[:-1]
+        out[ends] = starts[1:] - (starts[:-1] + lens[:-1]) + 1
+    return np.cumsum(out)
+
+
+def _pack_merge_keys(pid: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """(pair_id, shingle_value) -> 16-byte big-endian void keys whose
+    byte-lexicographic order == numeric (pid, value) order, so ONE
+    np.searchsorted merges every pair's intersection at once."""
+    n = pid.size
+    arr = np.empty((n, 16), np.uint8)
+    arr[:, :8] = pid.astype(">i8").view(np.uint8).reshape(n, 8)
+    arr[:, 8:] = vals.astype(">u8").view(np.uint8).reshape(n, 8)
+    return arr.reshape(n * 16).view("V16")
+
+
+# elements per merge chunk: bounds the two gather buffers (~32 MB each
+# at 4M uint64) regardless of how fat the batch's documents are
+_MAX_CHUNK_VALUES = 4 << 20
+
+
 def candidate_ids(pairs_ds) -> np.ndarray:
     """Distinct file ids referenced by the pair table (driver-side array)."""
 
@@ -92,6 +126,7 @@ class Verifier:
         self.bounds = bounds
         self.shard_refs = shard_refs
         self._shards: dict[int, tuple] = {}  # lazily fetched, zero-copy
+        self._simhashes: dict[int, np.ndarray] = {}  # per-shard, on demand
 
     def _shard(self, s: int):
         t = self._shards.get(s)
@@ -123,6 +158,98 @@ class Verifier:
         s = starts[pos]
         return vals[s : s + lens[pos]]
 
+    def _shard_simhash(self, s: int) -> np.ndarray:
+        """Per-file 64-bit SimHash of every document in shard ``s``,
+        computed ONCE per shard from the stored shingle sets (vectorized
+        batch kernel) and cached alongside the shard."""
+        sh = self._simhashes.get(s)
+        if sh is None:
+            ids_s, starts, lens, vals = self._shard(s)
+            if ids_s.size == 0:
+                sh = np.empty(0, np.uint64)
+            else:
+                gathered = vals[_concat_ranges(starts, lens)]
+                offsets = np.zeros(ids_s.size, dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                # zero-length docs: batch_simhash needs monotone offsets,
+                # which cumsum provides; empty segments vote nothing
+                sh = H.batch_simhash(gathered, offsets)
+            self._simhashes[s] = sh
+        return sh
+
+    def _gather_simhash(self, shard_idx: np.ndarray, pos: np.ndarray,
+                        rows: np.ndarray) -> np.ndarray:
+        out = np.zeros(rows.size, dtype=np.uint64)
+        sub = shard_idx[rows]
+        for s in np.unique(sub):
+            sh = self._shard_simhash(int(s))
+            m = np.nonzero(sub == s)[0]
+            if sh.size:
+                out[m] = sh[pos[rows[m]]]
+        return out
+
+    def _pair_intersections(self, rows: np.ndarray,
+                            sa_idx, pa_pos, sb_idx, pb_pos,
+                            na, nb) -> np.ndarray:
+        """|A ∩ B| for every candidate pair row at once.
+
+        Physical plan (the VERDICT-r2 item-5 fix for the one remaining
+        per-pair Python loop): pick the smaller side of each pair, gather
+        all referenced segments into two concatenated buffers — one
+        vectorized ranged-gather per SHARD, not per pair — then count
+        matches with a single searchsorted pass over (pair, value)
+        big-endian void keys (both buffers are (pid, value)-sorted by
+        construction: segments are stored sorted-unique and concatenated
+        in pid order).  Chunked so gather buffers stay bounded however
+        fat the documents are."""
+        inter = np.zeros(rows.size, dtype=np.int64)
+        tot = na[rows] + nb[rows]
+        cum = np.cumsum(tot)
+        start = 0
+        while start < rows.size:
+            # widest prefix whose total gathered values fit the budget
+            stop = int(np.searchsorted(cum, (cum[start - 1] if start else 0)
+                                       + _MAX_CHUNK_VALUES, side="right"))
+            stop = max(stop, start + 1)
+            c = rows[start:stop]
+            k = c.size
+            small_is_a = na[c] <= nb[c]
+            s_shard = np.where(small_is_a, sa_idx[c], sb_idx[c])
+            s_pos = np.where(small_is_a, pa_pos[c], pb_pos[c])
+            s_len = np.minimum(na[c], nb[c])
+            b_shard = np.where(small_is_a, sb_idx[c], sa_idx[c])
+            b_pos = np.where(small_is_a, pb_pos[c], pa_pos[c])
+            b_len = np.maximum(na[c], nb[c])
+            s_off = np.zeros(k + 1, np.int64)
+            np.cumsum(s_len, out=s_off[1:])
+            b_off = np.zeros(k + 1, np.int64)
+            np.cumsum(b_len, out=b_off[1:])
+            s_buf = np.empty(s_off[-1], np.uint64)
+            b_buf = np.empty(b_off[-1], np.uint64)
+            for shard in np.unique(np.concatenate([s_shard, b_shard])):
+                _, starts_s, _, vals_s = self._shard(int(shard))
+                for sh_arr, pos_arr, len_arr, off_arr, buf in (
+                    (s_shard, s_pos, s_len, s_off, s_buf),
+                    (b_shard, b_pos, b_len, b_off, b_buf),
+                ):
+                    m = np.nonzero(sh_arr == shard)[0]
+                    if m.size == 0:
+                        continue
+                    src = _concat_ranges(starts_s[pos_arr[m]], len_arr[m])
+                    dst = _concat_ranges(off_arr[m], len_arr[m])
+                    buf[dst] = vals_s[src]
+            pid = np.arange(k, dtype=np.int64)
+            s_pid = np.repeat(pid, s_len)
+            b_pid = np.repeat(pid, b_len)
+            if s_pid.size and b_pid.size:
+                A = _pack_merge_keys(s_pid, s_buf)
+                B = _pack_merge_keys(b_pid, b_buf)
+                p = np.minimum(np.searchsorted(B, A), B.size - 1)
+                hit = B[p] == A
+                inter[start:stop] = np.bincount(s_pid[hit], minlength=k)
+            start = stop
+        return inter
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         thr = self.cfg.jaccard_threshold
         # with the edit tier on, pairs just below threshold are kept as
@@ -135,25 +262,35 @@ class Verifier:
         lo = np.minimum(na, nb)
         hi = np.maximum(na, nb)
         # size-ratio bound: attainable Jaccard <= |small|/|big|
-        candidates = np.nonzero(a_ok & b_ok & (lo > 0) & (lo >= thr_lo * hi))[0]
-        out_a, out_b, out_j, out_m = [], [], [], []
-        for i in candidates:
-            sa = self._slice(sa_idx[i], pa_pos[i])
-            sb = self._slice(sb_idx[i], pb_pos[i])
-            inter = H.intersect_count(sa, sb)
-            union = sa.size + sb.size - inter
-            j = inter / union if union else 0.0
-            if j >= thr_lo:
-                out_a.append(int(a[i]))
-                out_b.append(int(b[i]))
-                out_j.append(j)
-                out_m.append("minhash_lsh" if j >= thr else "borderline")
+        keep = a_ok & b_ok & (lo > 0) & (lo >= thr_lo * hi)
+        candidates = np.nonzero(keep)[0]
+        if candidates.size and self.cfg.use_simhash_prefilter:
+            # cheap precision lever (the reference's two-tier cheap-then-
+            # exact verify, pcluster.cpp:34 -> hash_search.cpp:593-599):
+            # pairs whose stored-shingle SimHashes differ by more than
+            # prefilter_hamming bits skip exact Jaccard entirely.  Lossy
+            # by design; off by default for recall.
+            ha = self._gather_simhash(sa_idx, pa_pos, candidates)
+            hb = self._gather_simhash(sb_idx, pb_pos, candidates)
+            near = H.hamming64(ha, hb) <= self.cfg.prefilter_hamming
+            candidates = candidates[near]
+        if candidates.size == 0:
+            return VERIFIED_SCHEMA.empty_table()
+        inter = self._pair_intersections(
+            candidates, sa_idx, pa_pos, sb_idx, pb_pos, na, nb
+        )
+        union = na[candidates] + nb[candidates] - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        adm = j >= thr_lo
+        sel = candidates[adm]
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
-                "method": pa.array(out_m, pa.string()),
+                "a": pa.array(a[sel], pa.int64()),
+                "b": pa.array(b[sel], pa.int64()),
+                "jaccard": pa.array(j[adm], pa.float64()),
+                "method": pa.array(
+                    np.where(j[adm] >= thr, "minhash_lsh", "borderline")
+                ),
             }
         )
 

@@ -80,3 +80,68 @@ def test_mega_bucket_spanning_blocks_stays_distributed(ray_session):
         if k == "hot"
     ]
     assert len({clusters[f] for f in hot}) == 1
+
+
+def test_hot_bucket_window_recovers_pairs(ray_session):
+    """cfg.hot_bucket_window wiring: a hub-starred hot bucket emits ONLY
+    star edges at window=0; window=w adds the ring-recovery pairs
+    (O(n·w), pair-level recall inside the bucket) — and every emitted
+    pair is a true within-bucket pair."""
+    import ray.data
+
+    from hsearch_ray.stages.lsh import counted_pairs_from_keyed
+
+    n = 40
+    fids = np.arange(100, 100 + n, dtype=np.int64)
+    keyed = pa.table({"gkey": pa.array(np.full(n, 7), pa.int64()),
+                      "file_id": pa.array(fids, pa.int64())})
+
+    def run(window):
+        ds, _ = counted_pairs_from_keyed(
+            ray.data.from_arrow(keyed), cap=8, window=window
+        )
+        df = ds.to_pandas()
+        return set(zip(df["a"], df["b"]))
+
+    star = run(0)
+    assert len(star) == n - 1  # hub-star only: every member to the min
+    ring = run(3)
+    assert star < ring  # window recovers additional in-bucket pairs
+    assert len(ring) >= len(star) + n  # ~n·w extra, minus overlaps
+    all_pairs = {(int(a), int(b)) for i, a in enumerate(fids)
+                 for b in fids[i + 1:]}
+    assert ring <= all_pairs  # recovery never invents cross-bucket pairs
+
+
+def test_simhash_prefilter_flag(ray_session):
+    """cfg.use_simhash_prefilter wiring: near-dup pairs whose simhashes
+    differ by more than prefilter_hamming bits skip exact verification
+    (precision lever, lossy); a generous bound changes nothing."""
+    import ray
+    import ray.data
+
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.verify import Verifier, build_store
+
+    base = " ".join(f"token{i}" for i in range(120))
+    variant = base.replace("token3 ", "token3x ").replace("token77 ", "tok77 ")
+    rows = [("r", "a.py", base), ("r", "b.py", variant)]
+    corpus = normalize(ray.data.from_arrow(_corpus(rows))).materialize()
+    ids = np.sort(corpus.to_pandas()["file_id"].to_numpy(dtype=np.int64))
+    pairs = pa.table({"a": pa.array(ids[:1], pa.int64()),
+                      "b": pa.array(ids[1:], pa.int64())})
+
+    def verify(cfg):
+        store = build_store(corpus, ids, cfg, num_shards=2)
+        return Verifier(cfg, store)(pairs)
+
+    off = verify(PipelineConfig(jaccard_threshold=0.5))
+    assert off.num_rows == 1  # the pair is a true near-dup
+    strict = verify(PipelineConfig(jaccard_threshold=0.5,
+                                   use_simhash_prefilter=True,
+                                   prefilter_hamming=0))
+    assert strict.num_rows == 0  # simhashes differ -> exact verify skipped
+    loose = verify(PipelineConfig(jaccard_threshold=0.5,
+                                  use_simhash_prefilter=True,
+                                  prefilter_hamming=32))
+    assert loose.equals(off)  # generous bound: same verdicts
