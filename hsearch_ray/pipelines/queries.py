@@ -433,54 +433,93 @@ def q_corpus_stats_docs(sf_dir: str):
     )
 
 
-def q_median_event_value(sf_dir: str):
+def exact_median_distributed(ds, value_col: str = "value",
+                             max_fetch: int = 500_000, nbins: int = 4096,
+                             max_rounds: int = 8) -> float:
     """Exact median (A6 analog) WITHOUT materializing the column on the
     driver: (1) distributed min/max/count partials, (2) distributed
     histogram partials locate the bin(s) holding the middle order
-    statistics, (3) only those bins' values (a 1/nbins fraction) come to
-    the driver for the exact finish.  At design scale step 3 recurses
-    on a still-too-big bin instead of fetching it."""
-    ds = _read(sf_dir, "events", columns=["value"])
+    statistics, RECURSING on the middle bins while they still hold more
+    than ``max_fetch`` rows (a skewed distribution can put ~all rows in
+    one bin — each round narrows by ~nbins regardless), (3) only the
+    final, driver-sized middle range is fetched for the exact finish.
+    Only histogram partials (nbins rows/batch) and the final range ever
+    reach the driver.  Returns nan on an empty column."""
 
     def _mmc(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy(dtype=np.float64)
+        v = df["value_col_"].to_numpy(dtype=np.float64)
+        if v.size == 0:
+            return pd.DataFrame({"lo": [], "hi": [], "n": []})
         return pd.DataFrame({"lo": [v.min()], "hi": [v.max()], "n": [v.size]})
 
-    mmc = ds.map_batches(_mmc, batch_format="pandas", batch_size=65536).to_pandas()
+    named = ds.map_batches(
+        lambda df: pd.DataFrame({"value_col_": df[value_col]}),
+        batch_format="pandas", batch_size=65536,
+    ).materialize()
+    mmc = named.map_batches(_mmc, batch_format="pandas", batch_size=65536).to_pandas()
+    if mmc.empty:
+        return float("nan")
     lo, hi, n = float(mmc["lo"].min()), float(mmc["hi"].max()), int(mmc["n"].sum())
     if n == 0:
-        return pd.DataFrame({"median_value": [float("nan")]})
+        return float("nan")
     k1, k2 = (n - 1) // 2, n // 2
-    if lo == hi:
-        return pd.DataFrame({"median_value": [round(lo, 6)]})
-    nbins = 4096
-    width = (hi - lo) / nbins
+    # chained bin predicates from previous rounds: a row is in the
+    # current range iff EVERY (plo, pwidth, pb1, pb2) filter admits it —
+    # re-applying the exact bin formula sidesteps float-boundary drift
+    filters: list[tuple[float, float, int, int]] = []
 
-    def _hist(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy(dtype=np.float64)
-        b = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
-        idx, cnt = np.unique(b, return_counts=True)
-        return pd.DataFrame({"bin": idx, "cnt": cnt})
+    def _in_range(v: np.ndarray) -> np.ndarray:
+        m = np.ones(v.size, dtype=bool)
+        for plo, pw, pb1, pb2 in filters:
+            b = np.minimum(((v - plo) / pw).astype(np.int64), nbins - 1)
+            m &= (b >= pb1) & (b <= pb2)
+        return m
 
-    hist = ds.map_batches(_hist, batch_format="pandas", batch_size=65536).to_pandas()
-    counts = np.zeros(nbins, dtype=np.int64)
-    np.add.at(counts, hist["bin"].to_numpy(dtype=np.int64), hist["cnt"].to_numpy(dtype=np.int64))
-    cum = np.cumsum(counts)
-    b1 = int(np.searchsorted(cum, k1 + 1))
-    b2 = int(np.searchsorted(cum, k2 + 1))
-    below = int(cum[b1 - 1]) if b1 > 0 else 0
-    vlo = lo + b1 * width
-    vhi = hi if b2 == nbins - 1 else lo + (b2 + 1) * width
-    # fetch ONLY the middle bin(s): the bin test must match _hist exactly
+    below = 0
+    for _ in range(max_rounds):
+        if lo == hi:
+            return round(lo, 6)
+        width = (hi - lo) / nbins
+        if not np.isfinite(width) or width <= 0:
+            break
+
+        def _hist(df: pd.DataFrame, lo=lo, width=width) -> pd.DataFrame:
+            v = df["value_col_"].to_numpy(dtype=np.float64)
+            v = v[_in_range(v)]
+            b = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
+            idx, cnt = np.unique(b, return_counts=True)
+            return pd.DataFrame({"bin": idx, "cnt": cnt})
+
+        hist = named.map_batches(_hist, batch_format="pandas",
+                                 batch_size=65536).to_pandas()
+        counts = np.zeros(nbins, dtype=np.int64)
+        np.add.at(counts, hist["bin"].to_numpy(dtype=np.int64),
+                  hist["cnt"].to_numpy(dtype=np.int64))
+        cum = np.cumsum(counts)
+        b1 = int(np.searchsorted(cum, k1 + 1 - below))
+        b2 = int(np.searchsorted(cum, k2 + 1 - below))
+        in_mid = int(cum[b2] - (cum[b1 - 1] if b1 > 0 else 0))
+        filters.append((lo, width, b1, b2))
+        below += int(cum[b1 - 1]) if b1 > 0 else 0
+        lo, hi = lo + b1 * width, (hi if b2 == nbins - 1
+                                   else lo + (b2 + 1) * width)
+        if in_mid <= max_fetch:
+            break
+
     def _keep(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy(dtype=np.float64)
-        b = np.minimum(((v - lo) / width).astype(np.int64), nbins - 1)
-        return df[(b >= b1) & (b <= b2)]
+        v = df["value_col_"].to_numpy(dtype=np.float64)
+        return df[_in_range(v)]
 
-    mid = ds.map_batches(_keep, batch_format="pandas", batch_size=65536).to_pandas()
-    v = np.sort(mid["value"].to_numpy(dtype=np.float64))
+    mid = named.map_batches(_keep, batch_format="pandas",
+                            batch_size=65536).to_pandas()
+    v = np.sort(mid["value_col_"].to_numpy(dtype=np.float64))
     m1, m2 = v[k1 - below], v[k2 - below]
-    return pd.DataFrame({"median_value": [round(float((m1 + m2) / 2.0), 6)]})
+    return round(float((m1 + m2) / 2.0), 6)
+
+
+def q_median_event_value(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["value"])
+    return pd.DataFrame({"median_value": [exact_median_distributed(ds, "value")]})
 
 
 def q_cluster_stats_docs(sf_dir: str):

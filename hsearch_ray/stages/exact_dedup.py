@@ -84,33 +84,60 @@ def edges_from_tagged(batch: pa.Table) -> pa.Table:
                      "b": sub["file_id"].cast(pa.int64())})
 
 
-def exact_dedup(ds):
+def exact_dedup(ds, driver_combine_max_rows: int = 8_000_000):
     """normalized Dataset -> (tagged, kept, exact_edges).
 
     tagged : input + rep_id column (rep_id == file_id for non-dups)
     kept   : unique-content survivors (all original columns)
     exact_edges : (a=rep_id, b=file_id) rows for the duplicates
+
+    Partial combine auto-switch (the module-docstring scale rule, now
+    wired): partial rows up to ``driver_combine_max_rows`` combine on
+    the driver (one np.unique over 16-byte void keys — C speed); above
+    it, the combine runs as a distributed sort-based ``grouped_agg_ds``
+    and only the ACTUAL-DUPLICATE keys (count > 1, O(dups) by
+    construction) ever reach the driver for the broadcast dup map.
     """
-    pdf = (
+    partials = (
         ds.map_batches(_sha_partial, batch_format="pyarrow", batch_size=65536)
-        .to_pandas()
+        .materialize()
     )
-    if len(pdf):
-        keys = _void_keys(pdf["sha_hi"].to_numpy(dtype=np.int64),
-                          pdf["sha_lo"].to_numpy(dtype=np.int64))
-        mf = pdf["min_fid"].to_numpy(dtype=np.int64)
-        cnt = pdf["n"].to_numpy(dtype=np.int64)
-        order = np.argsort(keys, kind="stable")
-        ks, mf, cnt = keys[order], mf[order], cnt[order]
-        starts = np.nonzero(np.concatenate(([True], ks[1:] != ks[:-1])))[0]
-        rep = np.minimum.reduceat(mf, starts)
-        tot = np.add.reduceat(cnt, starts)
-        dupmask = tot > 1
-        dup_keys = ks[starts][dupmask]  # sorted void keys
-        dup_reps = rep[dupmask]
+    if partials.count() <= driver_combine_max_rows:
+        pdf = partials.to_pandas()
+        if len(pdf):
+            keys = _void_keys(pdf["sha_hi"].to_numpy(dtype=np.int64),
+                              pdf["sha_lo"].to_numpy(dtype=np.int64))
+            mf = pdf["min_fid"].to_numpy(dtype=np.int64)
+            cnt = pdf["n"].to_numpy(dtype=np.int64)
+            order = np.argsort(keys, kind="stable")
+            ks, mf, cnt = keys[order], mf[order], cnt[order]
+            starts = np.nonzero(np.concatenate(([True], ks[1:] != ks[:-1])))[0]
+            rep = np.minimum.reduceat(mf, starts)
+            tot = np.add.reduceat(cnt, starts)
+            dupmask = tot > 1
+            dup_keys = ks[starts][dupmask]  # sorted void keys
+            dup_reps = rep[dupmask]
+        else:
+            dup_keys = np.empty(0, dtype=V16)
+            dup_reps = np.empty(0, dtype=np.int64)
     else:
-        dup_keys = np.empty(0, dtype=V16)
-        dup_reps = np.empty(0, dtype=np.int64)
+        from hsearch_ray.stages.agg import grouped_agg_ds
+
+        dup_pdf = (
+            grouped_agg_ds(partials, ["sha_hi", "sha_lo"],
+                           {"min_fid": ["min"], "n": ["sum"]})
+            .filter(expr="n__sum > 1")
+            .to_pandas()
+        )
+        if len(dup_pdf):
+            keys = _void_keys(dup_pdf["sha_hi"].to_numpy(dtype=np.int64),
+                              dup_pdf["sha_lo"].to_numpy(dtype=np.int64))
+            order = np.argsort(keys, kind="stable")
+            dup_keys = keys[order]
+            dup_reps = dup_pdf["min_fid__min"].to_numpy(dtype=np.int64)[order]
+        else:
+            dup_keys = np.empty(0, dtype=V16)
+            dup_reps = np.empty(0, dtype=np.int64)
     ref = ray.put((dup_keys, dup_reps))
 
     def tag(batch: pa.Table) -> pa.Table:

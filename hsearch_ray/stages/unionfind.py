@@ -263,15 +263,55 @@ def root_arrays(roots_ds) -> tuple[np.ndarray, np.ndarray]:
     return keys[order], vals[order]
 
 
-def attach_clusters(corpus_ds, roots_ds):
+def _attach_by_join(corpus_ds, roots_ds):
+    """Shuffle-join attach for a root map too big to broadcast: dedup
+    the (possibly multiply-emitted) root rows with a distributed
+    combine, LEFT-OUTER hash-join corpus file_ids against it, and fill
+    unmatched rows with identity (cluster_id = file_id).  Same output
+    contract as the broadcast path (property-tested equal)."""
+    from hsearch_ray.stages.agg import grouped_agg_ds
+
+    uniq = grouped_agg_ds(roots_ds, ["file_id"], {"cluster_id": ["min"]})
+
+    def _fid_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"file_id": batch["file_id"].cast(pa.int64())})
+
+    left = corpus_ds.map_batches(_fid_only, batch_format="pyarrow")
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = left.join(uniq, join_type="left_outer",
+                       num_partitions=num_partitions, on=("file_id",))
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fid = batch["file_id"].to_numpy(zero_copy_only=False)
+        cid_col = batch["cluster_id__min"].combine_chunks() \
+            if isinstance(batch["cluster_id__min"], pa.ChunkedArray) \
+            else batch["cluster_id__min"]
+        # fill nulls INSIDE Arrow: a null-bearing int64 column converts
+        # to float64 (NaN) in numpy and 64-bit hash ids lose precision
+        mask = np.asarray(cid_col.is_null())
+        cid = pc.fill_null(cid_col, 0).to_numpy(zero_copy_only=False).astype(I64)
+        cid = np.where(mask, fid, cid)
+        return pa.table({"file_id": pa.array(fid, pa.int64()),
+                         "cluster_id": pa.array(cid, pa.int64())})
+
+    return joined.map_batches(_fill, batch_format="pyarrow")
+
+
+def attach_clusters(corpus_ds, roots_ds, broadcast_above: int = 100_000_000):
     """corpus + root map -> (file_id, cluster_id) for EVERY corpus row;
     files without edges get cluster_id = file_id.
 
     The root map is broadcast once as two sorted numpy arrays (zero-copy
     on ray.get) and applied with ONE vectorized searchsorted per batch —
-    no per-row Python.  When the dup set outgrows broadcast (>> 10^8
-    dup files), the drop-in replacement is a ``Dataset.join`` on
-    file_id with fill=identity; same output contract."""
+    no per-row Python.  When the dup set outgrows broadcast
+    (``broadcast_above`` root rows), the attach switches to the
+    ``Dataset.join`` shuffle path (_attach_by_join) — same output
+    contract, no driver/broadcast materialization of the map."""
+    roots_ds = roots_ds.materialize()
+    if roots_ds.count() > broadcast_above:
+        return _attach_by_join(corpus_ds, roots_ds)
     keys, vals = root_arrays(roots_ds)
     ref = ray.put((keys, vals))
 

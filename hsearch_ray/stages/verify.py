@@ -295,8 +295,49 @@ class Verifier:
         )
 
 
+# --------------------------------------------------------------- Bloom filter
+#
+# Above ``bloom_above`` candidate ids, the per-shard membership filter
+# ships as a Bloom bitmap (~64x smaller than the sorted id array a
+# multi-node cluster would otherwise replicate per node).  False
+# positives only shingle a few extra files into the store — the
+# Verifier looks up exclusively true candidate ids, so results are
+# bit-identical to the exact-id path (equivalence pinned by test).
+
+_BLOOM_K = 4
+_BLOOM_SEEDS = (0x243F6A8885A308D3, 0x13198A2E03707344,
+                0xA4093822299F31D0, 0x082EFA98EC4E6C89)
+
+
+def _bloom_positions(ids: np.ndarray, m_bits: int, s: int) -> np.ndarray:
+    h = H.splitmix64(ids.astype(np.uint64) ^ np.uint64(_BLOOM_SEEDS[s]))
+    return (h % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_build(ids: np.ndarray, bits_per_id: int = 16) -> np.ndarray:
+    """uint8 bitmap Bloom filter over an int64 id array (k=4 probes;
+    ~0.2% false-positive rate at 16 bits/id)."""
+    m_bits = 1 << max(10, int(np.ceil(np.log2(max(1, ids.size) * bits_per_id))))
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    for s in range(_BLOOM_K):
+        pos = _bloom_positions(ids, m_bits, s)
+        np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bitmap
+
+
+def bloom_contains(bitmap: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe; true for every inserted id, rarely
+    true for others (false positives)."""
+    m_bits = bitmap.size * 8
+    ok = np.ones(ids.size, dtype=bool)
+    for s in range(_BLOOM_K):
+        pos = _bloom_positions(ids, m_bits, s)
+        ok &= ((bitmap[pos >> 3] >> (pos & 7)) & 1).astype(bool)
+    return ok
+
+
 @ray.remote
-def _build_shard(lo: int, hi: int, sorted_ids, k: int, canon: bool, *blocks):
+def _build_shard(lo: int, hi: int, id_filter, k: int, canon: bool, *blocks):
     """Build one id-range shard of the shingle store DIRECTLY from the
     materialized corpus blocks: filter to this shard's candidate rows,
     shingle their contents, pack (ids, starts, lens, values).
@@ -313,7 +354,11 @@ def _build_shard(lo: int, hi: int, sorted_ids, k: int, canon: bool, *blocks):
         fid = tbl["file_id"].to_numpy(zero_copy_only=False)
         mask = (fid >= lo) & (fid < hi)
         if mask.any():
-            mask &= _in_sorted(sorted_ids, fid)
+            kind, payload = id_filter
+            if kind == "bloom":
+                mask &= bloom_contains(payload, fid)
+            else:
+                mask &= _in_sorted(payload, fid)
         if not mask.any():
             continue
         sel = np.nonzero(mask)[0]
@@ -340,7 +385,8 @@ def _build_shard(lo: int, hi: int, sorted_ids, k: int, canon: bool, *blocks):
 
 
 def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig,
-                num_shards: int | None = None):
+                num_shards: int | None = None,
+                bloom_above: int = 32_000_000):
     """Sharded zero-copy shingle store: ``num_shards`` remote tasks each
     scan the materialized corpus blocks and build one id-range shard
     (filter -> shingle -> pack) IN PARALLEL — the driver never touches
@@ -358,13 +404,19 @@ def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig,
     corpus_ds = corpus_ds.materialize()  # no-op when already materialized
     block_refs = [ref for ref in corpus_ds.to_arrow_refs()]
     ids_sorted = np.sort(ids)
-    ids_ref = ray.put(ids_sorted)
+    if ids_sorted.size > bloom_above:
+        # ship a Bloom bitmap (~bits_per_id/8 bytes per id) instead of
+        # the full 8B/id sorted array; bloom-positive non-candidates are
+        # harmlessly over-included in the store
+        filt_ref = ray.put(("bloom", bloom_build(ids_sorted)))
+    else:
+        filt_ref = ray.put(("exact", ids_sorted))
     cut = np.linspace(0, ids_sorted.size, num_shards + 1).astype(np.int64)[1:-1]
     bounds = np.concatenate(
         ([np.iinfo(np.int64).min], ids_sorted[cut], [np.iinfo(np.int64).max])
     )
     shard_refs = [
-        _build_shard.remote(int(bounds[s]), int(bounds[s + 1]), ids_ref,
+        _build_shard.remote(int(bounds[s]), int(bounds[s + 1]), filt_ref,
                             cfg.shingle_k, cfg.token_canonicalize, *block_refs)
         for s in range(num_shards)
     ]

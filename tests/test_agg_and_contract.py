@@ -76,3 +76,32 @@ def test_entry_runs(ray_session):
     out = e.entry()
     n = out.count() if hasattr(out, "count") else len(out)
     assert n >= 0
+
+
+def test_median_recursion_on_skewed_bins(ray_session):
+    """exact_median_distributed must recurse on a middle bin that holds
+    ~all rows (skewed distribution) instead of fetching it: forced tiny
+    max_fetch, answer must equal numpy's median exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from hsearch_ray.pipelines.queries import exact_median_distributed
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    # 95% of mass inside one 1/4096 slice of the range: bin recursion
+    # must trigger; an outlier stretches the histogram range
+    dense = rng.uniform(1000.0, 1000.01, size=19000)
+    sparse = rng.uniform(0.0, 1_000_000.0, size=1000)
+    v = np.concatenate([dense, sparse])
+    rng.shuffle(v)
+    tbl = pa.table({"value": pa.array(v, pa.float64())})
+    ds = ray.data.from_arrow([tbl.slice(0, 7000), tbl.slice(7000, 7000),
+                              tbl.slice(14000)])
+    got = exact_median_distributed(ds, "value", max_fetch=200)
+    assert got == round(float(np.median(v)), 6)
+
+    # exact-duplicate pile: lo == hi short-circuit inside recursion
+    w = np.concatenate([np.full(9000, 5.0), rng.uniform(0, 10, 1000)])
+    ds2 = ray.data.from_arrow(pa.table({"value": pa.array(w, pa.float64())}))
+    got2 = exact_median_distributed(ds2, "value", max_fetch=50)
+    assert got2 == round(float(np.median(w)), 6)

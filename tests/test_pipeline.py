@@ -61,6 +61,42 @@ def test_sha256_invariant(ray_session, tiny_corpus):
     assert {r["sha256"] for r in rows} == want  # kept = exactly distinct contents
 
 
+def test_exact_dedup_shuffle_combine_equivalent(ray_session, tiny_corpus):
+    """The distributed partial-combine path (forced via a 1-row driver
+    bound) must produce identical tagging to the driver combine — the
+    auto-switch is a physical-plan change only."""
+    import ray.data
+
+    from hsearch_ray.stages.exact_dedup import exact_dedup
+    from hsearch_ray.stages.normalize import normalize
+
+    corpus, _ = tiny_corpus
+    # clone a few rows so real duplicates exist
+    import pyarrow as pa
+
+    dup = corpus.slice(0, 5)
+    both = pa.concat_tables([corpus, dup.set_column(
+        dup.schema.get_field_index("path"),
+        "path",
+        pa.array([p + "_copy" for p in dup["path"].to_pylist()]),
+    )])
+
+    def run(bound):
+        tagged, kept, edges = exact_dedup(
+            normalize(ray.data.from_arrow(both)), driver_combine_max_rows=bound
+        )
+        tag_map = {int(r["file_id"]): int(r["rep_id"]) for r in tagged.take_all()}
+        edge_set = {(int(r["a"]), int(r["b"])) for r in edges.take_all()}
+        return tag_map, kept.count(), edge_set
+
+    driver = run(8_000_000)
+    shuffle = run(1)
+    assert driver == shuffle
+    # the cloned contents are true exact dups: edges must exist and be
+    # identical across the two combine plans
+    assert len(driver[2]) >= 5
+
+
 def test_hot_bucket_hub_star(ray_session):
     """A >cap near-identical cluster takes the broadcast hub-star path
     (no quadratic group) and still lands in ONE cluster."""

@@ -53,6 +53,39 @@ def test_verifier_fetches_only_referenced_shards(ray_session):
     assert v(pairs).equals(v_full(pairs))
 
 
+def test_bloom_store_filter_equivalent(ray_session):
+    """Forcing the Bloom candidate-id filter (bloom_above=0) produces a
+    store whose verification output is BIT-IDENTICAL to the exact-id
+    path: false positives only over-include files the verifier never
+    looks up."""
+    import ray
+    import ray.data
+
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.verify import (Verifier, bloom_build,
+                                           bloom_contains, build_store)
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    base = " ".join(str(rng.integers(0, 99)) for _ in range(80))
+    rows = [("r", f"f{i}.py", base + f" tail{i % 7}") for i in range(48)]
+    cfg = PipelineConfig(jaccard_threshold=0.5)
+    corpus = normalize(ray.data.from_arrow(_corpus(rows))).materialize()
+    ids = np.sort(corpus.to_pandas()["file_id"].to_numpy(dtype=np.int64))
+    # only half the files are candidates: the filter has something to cut
+    cand = ids[::2]
+    pairs = pa.table({"a": pa.array(cand[:-1], pa.int64()),
+                      "b": pa.array(cand[1:], pa.int64())})
+    exact = Verifier(cfg, build_store(corpus, cand, cfg, num_shards=4))(pairs)
+    bloom = Verifier(cfg, build_store(corpus, cand, cfg, num_shards=4,
+                                      bloom_above=0))(pairs)
+    assert exact.num_rows > 0
+    assert bloom.equals(exact)
+
+    # and the primitive honors its contract: no false negatives
+    bm = bloom_build(cand)
+    assert bloom_contains(bm, cand).all()
+
+
 def test_mega_bucket_spanning_blocks_stays_distributed(ray_session):
     """An adversarial bucket holding most of the corpus spans many sorted
     blocks; its postings are re-grouped on workers (never a driver

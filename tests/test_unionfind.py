@@ -91,3 +91,30 @@ def test_cc_distributed_at_scale(ray_session):
     elapsed = time.perf_counter() - t0
     assert got == _cc_expected(edges)
     assert elapsed < 120, f"distributed CC too slow: {elapsed:.0f}s"
+
+
+def test_attach_join_matches_broadcast(ray_session):
+    """The Dataset.join attach fallback (forced via broadcast_above=0)
+    must produce exactly the broadcast-searchsorted attach's output —
+    including identity rows for files with no edges and 64-bit hash ids
+    that would lose precision through a float null-fill."""
+    import ray.data
+
+    from hsearch_ray.stages.unionfind import attach_clusters, connected_components
+
+    big = np.int64(2**62)  # beyond float64's 2^53 integer precision
+    edges = pa.table({"a": pa.array([1, 2, big], pa.int64()),
+                      "b": pa.array([2, 3, big + 1], pa.int64())})
+    corpus = pa.table({"file_id": pa.array(
+        [1, 2, 3, 50, 60, big, big + 1, big + 7], pa.int64())})
+    roots = connected_components(ray.data.from_arrow(edges))
+
+    def as_map(ds):
+        return {int(r["file_id"]): int(r["cluster_id"]) for r in ds.take_all()}
+
+    bc = as_map(attach_clusters(ray.data.from_arrow(corpus), roots))
+    jn = as_map(attach_clusters(ray.data.from_arrow(corpus), roots,
+                                broadcast_above=0))
+    assert jn == bc
+    assert bc[50] == 50 and bc[big + 7] == big + 7  # identity fill
+    assert bc[big + 1] == bc[big]
