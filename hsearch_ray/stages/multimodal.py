@@ -95,22 +95,36 @@ def decode_png(payload: bytes) -> np.ndarray:
             out[y] = cur
         elif f == 2:  # Up
             out[y] = (cur + up) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
-            row = out[y]
-            for x in range(stride):
-                a = row[x - c] if x >= c else 0
-                b = int(up[x])
-                if f == 1:
-                    val = cur[x] + a
-                elif f == 3:
-                    val = cur[x] + ((a + b) >> 1)
-                else:
-                    cc = int(up[x - c]) if x >= c else 0
-                    p = a + b - cc
-                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cc)
-                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cc)
-                    val = cur[x] + pred
-                row[x] = val & 0xFF
+        elif f == 1:
+            # Sub's serial mod-256 recurrence out[x] = cur[x] + out[x-c]
+            # IS a channel-wise cumulative sum (mod distributes over +)
+            out[y] = (np.cumsum(cur.reshape(w, c).astype(np.int64), axis=0)
+                      .reshape(stride) & 0xFF).astype(np.int32)
+        elif f in (3, 4):  # Average / Paeth: left-to-right recurrence;
+            # loop over pixels, vectorized across channels
+            row2 = out[y].reshape(w, c)
+            cur2 = cur.reshape(w, c)
+            up2 = up.reshape(w, c)
+            prev = np.zeros(c, dtype=np.int32)
+            if f == 3:
+                for x in range(w):
+                    prev = (cur2[x] + ((prev + up2[x]) >> 1)) & 0xFF
+                    row2[x] = prev
+            else:
+                upprev = np.zeros(c, dtype=np.int32)
+                for x in range(w):
+                    b = up2[x]
+                    p = prev + b - upprev
+                    pa_ = np.abs(p - prev)
+                    pb_ = np.abs(p - b)
+                    pc_ = np.abs(p - upprev)
+                    pred = np.where(
+                        (pa_ <= pb_) & (pa_ <= pc_), prev,
+                        np.where(pb_ <= pc_, b, upprev),
+                    )
+                    prev = (cur2[x] + pred) & 0xFF
+                    row2[x] = prev
+                    upprev = b
         else:
             raise MediaDecodeError(f"unknown PNG filter {f}")
     return out.astype(np.float32).reshape(h, w, c) / 255.0

@@ -30,6 +30,51 @@ from hsearch_ray.config import PipelineConfig
 I64 = np.int64
 
 
+def batched_streams(col, k: int, canon: bool = False) -> list[np.ndarray]:
+    """Per-doc positional shingle-hash streams for a binary content
+    column (shared by the Signer and the verify-store shard builder).
+
+    Fast path (no CR bytes, no canonicalization): ONE vectorized
+    rolling-hash pass over the column's concatenated data buffer — the
+    Arrow layout IS the reference's concatenated store
+    (protein.hpp:14-39), so per-doc streams are just slices whose
+    windows don't cross doc boundaries.  Values are bit-identical to
+    the per-doc kernel (a window's hash depends only on its k bytes).
+    Falls back to the per-doc path when CRLF normalization or token
+    canonicalization must edit bytes first."""
+    col = col.cast(pa.large_binary())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+    off = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                        count=len(col) + 1, offset=col.offset * 8)
+    buf = col.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8)
+            if buf is not None and len(buf) else np.empty(0, np.uint8))
+    # a sliced column VIEWS its parent's buffers: restrict to this
+    # slice's byte range or every batch re-hashes the whole parent
+    data = data[off[0] : off[-1]]
+    off = off - off[0]
+    if canon or bool((data == 13).any()):
+        return [
+            H.shingle_stream(
+                H.normalize_for_shingles(
+                    data[off[i]:off[i + 1]].tobytes(), canon
+                ),
+                k,
+            )
+            for i in range(len(col))
+        ]
+    full = H.rolling_hash(data, k)  # one pass over the whole buffer
+    out = []
+    for i in range(len(col)):
+        s, e = off[i], off[i + 1]
+        if e - s >= k:
+            out.append(full[s : e - k + 1])
+        else:  # short-content special case matches shingle_stream
+            out.append(H.shingle_stream(data[s:e].tobytes(), k))
+    return out
+
+
 class Signer:
     def __init__(self, cfg: PipelineConfig, with_fingerprints: bool = False,
                  with_simhash: bool = False):
@@ -42,49 +87,8 @@ class Signer:
             self.a = self.b = None
 
     def _streams(self, batch: pa.Table) -> list[np.ndarray]:
-        """Per-doc positional shingle-hash streams.
-
-        Fast path (no CR bytes, no canonicalization): ONE vectorized
-        rolling-hash pass over the column's concatenated data buffer —
-        the Arrow layout IS the reference's concatenated store
-        (protein.hpp:14-39), so per-doc streams are just slices whose
-        windows don't cross doc boundaries.  Values are bit-identical to
-        the per-doc kernel (a window's hash depends only on its k
-        bytes).  Falls back to the per-doc path when CRLF normalization
-        or token canonicalization must edit bytes first."""
-        cfg = self.cfg
-        col = batch["content"].cast(pa.large_binary())
-        if isinstance(col, pa.ChunkedArray):
-            col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
-        off = np.frombuffer(col.buffers()[1], dtype=np.int64,
-                            count=len(col) + 1, offset=col.offset * 8)
-        buf = col.buffers()[2]
-        data = (np.frombuffer(buf, dtype=np.uint8)
-                if buf is not None and len(buf) else np.empty(0, np.uint8))
-        # a sliced column VIEWS its parent's buffers: restrict to this
-        # slice's byte range or every batch re-hashes the whole parent
-        data = data[off[0] : off[-1]]
-        off = off - off[0]
-        k = cfg.shingle_k
-        if cfg.token_canonicalize or bool((data == 13).any()):
-            return [
-                H.shingle_stream(
-                    H.normalize_for_shingles(
-                        data[off[i]:off[i + 1]].tobytes(), cfg.token_canonicalize
-                    ),
-                    k,
-                )
-                for i in range(len(col))
-            ]
-        full = H.rolling_hash(data, k)  # one pass over the whole buffer
-        out = []
-        for i in range(len(col)):
-            s, e = off[i], off[i + 1]
-            if e - s >= k:
-                out.append(full[s : e - k + 1])
-            else:  # short-content special case matches shingle_stream
-                out.append(H.shingle_stream(data[s:e].tobytes(), k))
-        return out
+        return batched_streams(batch["content"], self.cfg.shingle_k,
+                               self.cfg.token_canonicalize)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg

@@ -362,11 +362,13 @@ def _build_shard(lo: int, hi: int, id_filter, k: int, canon: bool, *blocks):
         if not mask.any():
             continue
         sel = np.nonzero(mask)[0]
-        contents = tbl.filter(pa.array(mask))["content"].cast(pa.large_binary()).to_pylist()
-        arrs = [
-            H.shingle_hashes(H.normalize_for_shingles(c, canon), k)
-            for c in contents
-        ]
+        # batched concatenated-buffer kernel (signatures.batched_streams)
+        # — the store build pays the same one-pass cost as signing, not
+        # a per-doc python/hash round-trip
+        from hsearch_ray.stages.signatures import batched_streams
+
+        streams = batched_streams(tbl.filter(pa.array(mask))["content"], k, canon)
+        arrs = [np.unique(s) for s in streams]
         fid_parts.append(fid[sel])
         len_parts.append(np.array([a.size for a in arrs], dtype=np.int64))
         val_parts.append(
