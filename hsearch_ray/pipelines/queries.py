@@ -719,6 +719,29 @@ def q_ann_topk_lsh(sf_dir: str):
 
 # ---------------------------------------------------------------- registry
 
+def q_session_stats(sf_dir: str):
+    """Gap-based session windows over the event stream (the windowed-
+    aggregate operator Ray Data lacks natively; stages/events.py): one
+    row per (user, session) with start/count/value-sum.  Oracle: the
+    LAG/SUM window-function formulation in DuckDB."""
+    from hsearch_ray.stages.events import sessionize
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+    return sessionize(ds, gap_sec=3600)
+
+
+def q_purchase_attribution(sf_dir: str):
+    """As-of join (stages/events.py): every purchase matched to the
+    most recent strictly-prior click by the same user.  Oracle: the
+    MAX-prior-ts join in DuckDB."""
+    from hsearch_ray.stages.events import asof_prior_event
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type"])
+    return asof_prior_event(ds, left_type="purchase", right_type="click")
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -751,6 +774,8 @@ QUERIES = {
     "median_event_value": q_median_event_value,
     "cluster_stats_docs": q_cluster_stats_docs,
     "sample_events": q_sample_events,
+    "session_stats": q_session_stats,
+    "purchase_attribution": q_purchase_attribution,
 }
 
 
@@ -941,6 +966,34 @@ GROUP BY cl.cluster_id
 
 
 ORACLE_SQL = {
+    "session_stats": """
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+          FROM events
+        ), m AS (
+          SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 3600000000
+                         THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m
+        )
+        SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+               count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS sum_value_c
+        FROM s GROUP BY user_id, sid
+    """,
+    "purchase_attribution": """
+        SELECT p.event_id AS event_id,
+               CAST(max(epoch_us(c.ts)) AS BIGINT) AS prior_ts_us
+        FROM events p
+        JOIN events c ON p.user_id = c.user_id AND c.ts < p.ts
+                      AND c.event_type = 'click'
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+    """,
     "recall_eval_docs": _RECALL_EVAL_SQL,
     "cluster_radius_docs": _CLUSTER_RADIUS_SQL,
     "tsv_lang_count_docs": """

@@ -1,0 +1,290 @@
+"""Event-stream operators Ray Data lacks natively: gap-based session
+windows and an as-of (most-recent-prior) join.
+
+The reference is a pure batch engine with no window semantics
+(SURVEY.md §2.9) — but both operators below are the batch re-expression
+of its one ordering idiom: sort, then scan equal-key runs
+(gen_kmers_from_suffix_array.cpp:51-65).  The physical plan is the
+repo-standard sorted-block scan:
+
+  ONE distributed sort by (user_id, ts, event_id) -> per-block
+  vectorized kernel over interior users -> block-edge users spill
+  (kind=1) to a tiny worker-side groupby regroup (<= 2 users per block
+  boundary, never a driver funnel).
+
+Partitioning assumption (documented per the custom-operator rule): a
+user's rows land contiguously in the sorted order, so any user not
+touching a block edge is COMPLETE within the block; edge users are
+re-grouped by a per-user shuffle whose size is O(blocks), not O(rows).
+
+Timestamps flow as int64 epoch microseconds end-to-end (the sort key
+and the output), so results hash-compare exactly against DuckDB
+``epoch_us``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+I64 = np.int64
+
+_SESSION_SCHEMA = pa.schema(
+    [("user_id", pa.int64()), ("session_start_us", pa.int64()),
+     ("n_events", pa.int64()), ("sum_value_c", pa.int64())]
+)
+_ASOF_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("prior_ts_us", pa.int64())]
+)
+
+
+def _cents(v: np.ndarray) -> np.ndarray:
+    """floor(x*100 + 0.5) — the driver-contract float->int discipline
+    (same IEEE result in numpy and DuckDB)."""
+    return np.floor(v * 100.0 + 0.5).astype(I64)
+
+
+def _session_rows(user: np.ndarray, ts: np.ndarray, vc: np.ndarray,
+                  gap_us: int) -> pa.Table:
+    """Session aggregate rows for a (user, ts, event_id)-sorted slice of
+    COMPLETE users.  One vectorized pass: a session break is a user
+    change or a gap > gap_us; per-session reduceat for count/sum."""
+    n = user.size
+    if n == 0:
+        return _SESSION_SCHEMA.empty_table()
+    new = np.ones(n, dtype=bool)
+    new[1:] = (user[1:] != user[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+    starts = np.nonzero(new)[0]
+    return pa.table(
+        {
+            "user_id": pa.array(user[starts], pa.int64()),
+            "session_start_us": pa.array(ts[starts], pa.int64()),
+            "n_events": pa.array(
+                np.diff(np.append(starts, n)).astype(I64), pa.int64()
+            ),
+            "sum_value_c": pa.array(np.add.reduceat(vc, starts), pa.int64()),
+        }
+    )
+
+
+def _prep_events(batch: pa.Table, left_type: str | None = None,
+                 right_type: str | None = None) -> pa.Table:
+    """Narrow projection with int64 epoch-us timestamps (the sort key);
+    optionally tags left/right row roles for the as-of join."""
+    ts = batch["ts"].cast(pa.timestamp("us")).cast(pa.int64())
+    cols = {
+        "user_id": batch["user_id"].cast(pa.int64()),
+        "ts_us": ts,
+        "event_id": batch["event_id"].cast(pa.int64()),
+    }
+    if left_type is None:
+        cols["value_c"] = pa.array(
+            _cents(batch["value"].to_numpy(zero_copy_only=False)), pa.int64()
+        )
+    else:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        cols["is_left"] = pa.array(et == left_type)
+        cols["is_right"] = pa.array(et == right_type)
+    return pa.table(cols)
+
+
+def sessionize(events_ds, gap_sec: int = 3600):
+    """events -> one row per (user, session): gap-based session windows.
+
+    A session is a maximal run of a user's events with inter-event gap
+    <= gap_sec.  Output: (user_id, session_start_us, n_events,
+    sum_value_c) — exactly DuckDB's LAG/SUM-window formulation, so the
+    oracle hash-matches."""
+    gap_us = int(gap_sec) * 1_000_000
+    prepped = events_ds.map_batches(_prep_events, batch_format="pyarrow")
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        schema = pa.schema(list(_SESSION_SCHEMA) + [("kind", pa.int8())])
+        if n == 0:
+            return schema.empty_table()
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        vc = batch["value_c"].to_numpy(zero_copy_only=False)
+        edge = (user == user[0]) | (user == user[-1])
+        interior = _session_rows(user[~edge], ts[~edge], vc[~edge], gap_us)
+        spill = np.nonzero(edge)[0]
+        # spill rows re-use the schema: (user, raw ts, 1, raw cents)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    np.concatenate([interior["user_id"].to_numpy(), user[spill]]),
+                    pa.int64(),
+                ),
+                "session_start_us": pa.array(
+                    np.concatenate(
+                        [interior["session_start_us"].to_numpy(), ts[spill]]
+                    ),
+                    pa.int64(),
+                ),
+                "n_events": pa.array(
+                    np.concatenate(
+                        [interior["n_events"].to_numpy(),
+                         np.ones(spill.size, I64)]
+                    ),
+                    pa.int64(),
+                ),
+                "sum_value_c": pa.array(
+                    np.concatenate([interior["sum_value_c"].to_numpy(), vc[spill]]),
+                    pa.int64(),
+                ),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(interior.num_rows, np.int8),
+                         np.ones(spill.size, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    scanned = (
+        prepped.sort(["user_id", "ts_us", "event_id"])
+        .map_batches(_scan, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = scanned.filter(expr="kind == 0").map_batches(
+        lambda t: t.drop_columns(["kind"]), batch_format="pyarrow"
+    )
+
+    def _regroup(group: pa.Table) -> pa.Table:
+        # one edge user's raw rows, re-sorted; sessions complete here
+        order = np.lexsort((group["session_start_us"].to_numpy(zero_copy_only=False),))
+        user = group["user_id"].to_numpy(zero_copy_only=False)[order]
+        ts = group["session_start_us"].to_numpy(zero_copy_only=False)[order]
+        vc = group["sum_value_c"].to_numpy(zero_copy_only=False)[order]
+        return _session_rows(user, ts, vc, gap_us)
+
+    spill_sessions = (
+        scanned.filter(expr="kind == 1")
+        .groupby("user_id")
+        .map_groups(_regroup, batch_format="pyarrow")
+    )
+    return interior.union(spill_sessions)
+
+
+def _asof_rows(user: np.ndarray, ts: np.ndarray, eid: np.ndarray,
+               is_left: np.ndarray, is_right: np.ndarray) -> pa.Table:
+    """As-of rows for a sorted slice of COMPLETE users: for every left
+    row, the max right-row ts STRICTLY before it within the same user.
+    Vectorized: global running last-right-index + per-row user-run and
+    ts-run starts; validity = the carried index not crossing the user
+    boundary; strictness = looking up the carrier at the row BEFORE the
+    current (user, ts) run."""
+    n = user.size
+    if n == 0:
+        return _ASOF_SCHEMA.empty_table()
+    idx = np.arange(n, dtype=I64)
+    new_user = np.ones(n, dtype=bool)
+    new_user[1:] = user[1:] != user[:-1]
+    # index of the first row of each user's run, forward-filled
+    ustart = idx[new_user][np.cumsum(new_user) - 1]
+    new_ts = new_user.copy()
+    new_ts[1:] |= ts[1:] != ts[:-1]
+    tstart = idx[new_ts][np.cumsum(new_ts) - 1]
+    carrier = np.maximum.accumulate(np.where(is_right, idx, I64(-1)))
+    prev = tstart - 1  # last row strictly before this (user, ts) value
+    ok = is_left & (prev >= ustart)
+    c = carrier[np.maximum(prev, 0)]
+    ok &= c >= ustart  # the carried right-row must be the same user's
+    sel = np.nonzero(ok)[0]
+    return pa.table(
+        {
+            "event_id": pa.array(eid[sel], pa.int64()),
+            "prior_ts_us": pa.array(ts[c[sel]], pa.int64()),
+        }
+    )
+
+
+def asof_prior_event(events_ds, left_type: str = "purchase",
+                     right_type: str = "click"):
+    """As-of join: every ``left_type`` event matched to the most recent
+    STRICTLY-prior ``right_type`` event of the same user (inner —
+    unmatched left rows drop).  Output: (event_id, prior_ts_us).
+    Equal-ts right rows report the shared ts, so ties hash stably."""
+    prepped = events_ds.map_batches(
+        _prep_events,
+        fn_kwargs={"left_type": left_type, "right_type": right_type},
+        batch_format="pyarrow",
+    )
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("event_id", pa.int64()), ("prior_ts_us", pa.int64()),
+             ("user_id", pa.int64()), ("is_left", pa.bool_()),
+             ("is_right", pa.bool_()), ("kind", pa.int8())]
+        )
+        n = batch.num_rows
+        if n == 0:
+            return schema.empty_table()
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        il = batch["is_left"].to_numpy(zero_copy_only=False)
+        ir = batch["is_right"].to_numpy(zero_copy_only=False)
+        edge = (user == user[0]) | (user == user[-1])
+        i = ~edge
+        interior = _asof_rows(user[i], ts[i], eid[i], il[i], ir[i])
+        spill = np.nonzero(edge)[0]
+        k = interior.num_rows
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    np.concatenate([interior["event_id"].to_numpy(), eid[spill]]),
+                    pa.int64(),
+                ),
+                "prior_ts_us": pa.array(
+                    np.concatenate([interior["prior_ts_us"].to_numpy(), ts[spill]]),
+                    pa.int64(),
+                ),
+                "user_id": pa.array(
+                    np.concatenate([np.zeros(k, I64), user[spill]]), pa.int64()
+                ),
+                "is_left": pa.array(
+                    np.concatenate([np.zeros(k, bool), il[spill]])
+                ),
+                "is_right": pa.array(
+                    np.concatenate([np.zeros(k, bool), ir[spill]])
+                ),
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(k, np.int8), np.ones(spill.size, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    scanned = (
+        prepped.sort(["user_id", "ts_us", "event_id"])
+        .map_batches(_scan, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+    interior = scanned.filter(expr="kind == 0").map_batches(
+        lambda t: pa.table({"event_id": t["event_id"].cast(pa.int64()),
+                            "prior_ts_us": t["prior_ts_us"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    def _regroup(group: pa.Table) -> pa.Table:
+        ts = group["prior_ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        user = group["user_id"].to_numpy(zero_copy_only=False)[order]
+        il = group["is_left"].to_numpy(zero_copy_only=False)[order]
+        ir = group["is_right"].to_numpy(zero_copy_only=False)[order]
+        return _asof_rows(user, ts[order], eid[order], il, ir)
+
+    spill_rows = (
+        scanned.filter(expr="kind == 1")
+        .groupby("user_id")
+        .map_groups(_regroup, batch_format="pyarrow")
+    )
+    return interior.union(spill_rows)

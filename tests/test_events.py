@@ -1,0 +1,122 @@
+"""Session windows + as-of join: the sorted-block kernels must agree
+with a trivial driver-side reference even when users span many tiny
+blocks (the boundary-spill path)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _events(n_users=12, n_events=600, seed=4):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    user = rng.integers(1, n_users + 1, size=n_events).astype(np.int64)
+    # bursty timestamps: clusters of activity with long gaps between
+    ts = np.cumsum(rng.choice([1, 5, 30, 7200], size=n_events,
+                              p=[0.5, 0.3, 0.1, 0.1])) * 1_000_000
+    ts = ts + rng.integers(0, 1000, size=n_events)
+    types = rng.choice(["click", "purchase", "view"], size=n_events,
+                       p=[0.5, 0.2, 0.3])
+    value = np.round(rng.uniform(0, 100, size=n_events), 2)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n_events, dtype=np.int64)),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "user_id": pa.array(user, pa.int64()),
+            "event_type": pa.array(types.tolist(), pa.string()),
+            "value": pa.array(value, pa.float64()),
+        }
+    )
+
+
+def _many_blocks(tbl, n=23):
+    import ray.data
+
+    step = max(1, tbl.num_rows // n)
+    return ray.data.from_arrow(
+        [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+    )
+
+
+def _ref_sessions(tbl, gap_us):
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    df["vc"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts_us", "event_id"])
+    out = []
+    for uid, g in df.groupby("user_id"):
+        t = g["ts_us"].to_numpy()
+        new = np.ones(t.size, bool)
+        new[1:] = (t[1:] - t[:-1]) > gap_us
+        sid = np.cumsum(new)
+        for s in np.unique(sid):
+            m = sid == s
+            out.append((int(uid), int(t[m].min()), int(m.sum()),
+                        int(g["vc"].to_numpy()[m].sum())))
+    return set(out)
+
+
+def test_sessionize_matches_reference_across_blocks(ray_session):
+    from hsearch_ray.stages.events import sessionize
+
+    tbl = _events()
+    want = _ref_sessions(tbl, 3600 * 1_000_000)
+    got = sessionize(_many_blocks(tbl), gap_sec=3600).to_pandas()
+    got_set = set(zip(got["user_id"], got["session_start_us"],
+                      got["n_events"], got["sum_value_c"]))
+    assert got_set == want
+    assert len(want) > 20  # fixture really has multiple sessions
+
+
+def _ref_asof(tbl):
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    out = {}
+    for _, row in df[df["event_type"] == "purchase"].iterrows():
+        c = df[(df["user_id"] == row["user_id"])
+               & (df["event_type"] == "click")
+               & (df["ts_us"] < row["ts_us"])]
+        if len(c):
+            out[int(row["event_id"])] = int(c["ts_us"].max())
+    return out
+
+
+def test_asof_join_matches_reference_across_blocks(ray_session):
+    from hsearch_ray.stages.events import asof_prior_event
+
+    tbl = _events(seed=9)
+    want = _ref_asof(tbl)
+    got = asof_prior_event(_many_blocks(tbl)).to_pandas()
+    got_map = dict(zip(got["event_id"].astype(int),
+                       got["prior_ts_us"].astype(int)))
+    assert got_map == want
+    assert len(want) > 30
+
+
+def test_asof_strictly_prior_and_ties(ray_session):
+    """A click at EXACTLY the purchase's timestamp must not match
+    (strictly prior); an earlier click must."""
+    import ray.data
+
+    from hsearch_ray.stages.events import asof_prior_event
+
+    t0 = 1_700_000_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([t0, t0 + 5, t0 + 5, t0 + 9], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "event_type": pa.array(
+                ["click", "click", "purchase", "purchase"], pa.string()
+            ),
+            "value": pa.array([0.0, 0.0, 0.0, 0.0], pa.float64()),
+        }
+    )
+    got = asof_prior_event(ray.data.from_arrow(tbl)).to_pandas()
+    m = dict(zip(got["event_id"].astype(int), got["prior_ts_us"].astype(int)))
+    # purchase@t0+5: only the click at t0 is strictly prior
+    # purchase@t0+9: the click at t0+5 wins
+    assert m == {3: t0, 4: t0 + 5}
