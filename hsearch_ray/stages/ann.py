@@ -60,42 +60,46 @@ def _embedding_matrix(batch: pa.Table) -> np.ndarray:
     return flat.reshape(len(batch), -1)
 
 
-class _PartialTopK:
-    def __init__(self, queries_ref, k: int):
-        q = ray.get(queries_ref)  # dict: query_id -> float64 vector
-        self.qids = np.array(sorted(q), dtype=np.int64)
-        qm = np.stack([q[i] for i in self.qids])
-        self.qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-        self.k = k
+@lru_cache(maxsize=8)
+def _topk_state(queries_ref):
+    """Per-process cache of the normalized query matrix (stateless
+    warm-worker tasks get actor-grade state reuse without actor-pool
+    respawn; ObjectRefs are hashable and the cache pins them)."""
+    q = ray.get(queries_ref)  # dict: query_id -> float64 vector
+    qids = np.array(sorted(q), dtype=np.int64)
+    qm = np.stack([q[i] for i in qids])
+    return qids, qm / np.linalg.norm(qm, axis=1, keepdims=True)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _embedding_matrix(batch)
-        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (emb / norms) @ self.qnorm.T  # (n, nq)
-        out_q, out_v, out_s = [], [], []
-        for qi, qid in enumerate(self.qids):
-            # round BEFORE selection and tie-break by neighbor_id so the
-            # per-batch prune ranks by exactly the key the final merge
-            # (and the DuckDB oracle) uses — an unrounded prune could
-            # drop a neighbor that ties after rounding with a smaller id
-            col = np.round(sims[:, qi], 6)
-            mask = vids != qid  # exclude self
-            idx = np.nonzero(mask)[0]
-            if idx.size == 0:
-                continue
-            take = idx[np.lexsort((vids[idx], -col[idx]))][: self.k]
-            out_q.extend([int(qid)] * len(take))
-            out_v.extend(int(v) for v in vids[take])
-            out_s.extend(col[take])
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "neighbor_id": pa.array(out_v, pa.int64()),
-                "sim": pa.array(out_s, pa.float64()),
-            }
-        )
+
+def _partial_topk(batch: pa.Table, queries_ref, k: int) -> pa.Table:
+    qids, qnorm = _topk_state(queries_ref)
+    emb = _embedding_matrix(batch)
+    vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    sims = (emb / norms) @ qnorm.T  # (n, nq)
+    out_q, out_v, out_s = [], [], []
+    for qi, qid in enumerate(qids):
+        # round BEFORE selection and tie-break by neighbor_id so the
+        # per-batch prune ranks by exactly the key the final merge
+        # (and the DuckDB oracle) uses — an unrounded prune could
+        # drop a neighbor that ties after rounding with a smaller id
+        col = np.round(sims[:, qi], 6)
+        mask = vids != qid  # exclude self
+        idx = np.nonzero(mask)[0]
+        if idx.size == 0:
+            continue
+        take = idx[np.lexsort((vids[idx], -col[idx]))][:k]
+        out_q.extend([int(qid)] * len(take))
+        out_v.extend(int(v) for v in vids[take])
+        out_s.extend(col[take])
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        }
+    )
 
 
 def _final_topk(k: int):
@@ -111,11 +115,10 @@ def brute_force_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5):
     exact cosine top-k (ties broken by rounded-sim desc, id asc)."""
     ref = ray.put({int(i): np.asarray(v, dtype=np.float64) for i, v in query_vectors.items()})
     partial = emb_ds.map_batches(
-        _PartialTopK,
-        fn_constructor_args=(ref, k),
+        _partial_topk,
+        fn_kwargs={"queries_ref": ref, "k": k},
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=(1, 4),
     )
     return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
 
@@ -284,52 +287,61 @@ def cosine_dup_pairs_lsh(emb_ds, threshold: float, id_col: str = "vec_id",
     keyed = emb_mat.map_batches(_explode, batch_format="pyarrow", batch_size=8192)
     cand, _ = counted_pairs_from_keyed(keyed, cap=cap)
 
-    class _CosVerify:
-        """Lazy per-batch shard fetch (the Jaccard Verifier's pattern,
-        stages/verify.py:73) + one vectorized row-dot per batch."""
+    def _cos_verify(batch: pa.Table) -> pa.Table:
+        look = _vec_lookup(store_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        va, oka = look.gather(a)
+        vb, okb = look.gather(b)
+        sims = np.einsum("ij,ij->i", va, vb)
+        keep = oka & okb & (sims >= threshold)
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
 
-        def __init__(self):
-            self.bounds, self.refs = ray.get(store_ref)
-            self._shards: dict[int, tuple] = {}
+    return cand.map_batches(_cos_verify, batch_format="pyarrow",
+                            batch_size=65536)
 
-        def _shard(self, s: int):
-            t = self._shards.get(s)
-            if t is None:
-                t = self._shards[s] = ray.get(self.refs[s])
-            return t
 
-        def _gather(self, x: np.ndarray):
-            sh = np.searchsorted(self.bounds[1:-1], x, side="right") \
-                if self.bounds.size > 2 else np.zeros(x.size, np.int64)
-            out = None
-            ok = np.zeros(x.size, dtype=bool)
-            for s in np.unique(sh):
-                ids_s, mat_s = self._shard(int(s))
-                rows = np.nonzero(sh == s)[0]
-                if ids_s.size == 0:
-                    continue
-                if out is None:
-                    out = np.zeros((x.size, mat_s.shape[1]))
-                p = np.minimum(np.searchsorted(ids_s, x[rows]), ids_s.size - 1)
-                hit = ids_s[p] == x[rows]
-                out[rows[hit]] = mat_s[p[hit]]
-                ok[rows[hit]] = True
+@lru_cache(maxsize=8)
+def _vec_lookup(store_ref) -> "_ShardedVecLookup":
+    """Per-process lookup cache keyed by the store ref (stateless tasks
+    share lazily-fetched shards without an actor pool)."""
+    return _ShardedVecLookup(store_ref)
+
+
+class _ShardedVecLookup:
+    """Lazy per-batch shard fetch over the sharded normalized-vector
+    store (the Jaccard Verifier's access pattern, stages/verify.py:73)."""
+
+    def __init__(self, store_ref):
+        self.bounds, self.refs = ray.get(store_ref)
+        self._shards: dict[int, tuple] = {}
+
+    def _shard(self, s: int):
+        t = self._shards.get(s)
+        if t is None:
+            t = self._shards[s] = ray.get(self.refs[s])
+        return t
+
+    def gather(self, x: np.ndarray):
+        sh = np.searchsorted(self.bounds[1:-1], x, side="right") \
+            if self.bounds.size > 2 else np.zeros(x.size, np.int64)
+        out = None
+        ok = np.zeros(x.size, dtype=bool)
+        for s in np.unique(sh):
+            ids_s, mat_s = self._shard(int(s))
+            rows = np.nonzero(sh == s)[0]
+            if ids_s.size == 0:
+                continue
             if out is None:
-                out = np.zeros((x.size, 1))
-            return out, ok
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_numpy(zero_copy_only=False)
-            b = batch["b"].to_numpy(zero_copy_only=False)
-            va, oka = self._gather(a)
-            vb, okb = self._gather(b)
-            sims = np.einsum("ij,ij->i", va, vb)
-            keep = oka & okb & (sims >= threshold)
-            return pa.table({"a": pa.array(a[keep], pa.int64()),
-                             "b": pa.array(b[keep], pa.int64())})
-
-    return cand.map_batches(_CosVerify, batch_format="pyarrow",
-                            batch_size=65536, concurrency=(1, 8))
+                out = np.zeros((x.size, mat_s.shape[1]))
+            p = np.minimum(np.searchsorted(ids_s, x[rows]), ids_s.size - 1)
+            hit = ids_s[p] == x[rows]
+            out[rows[hit]] = mat_s[p[hit]]
+            ok[rows[hit]] = True
+        if out is None:
+            out = np.zeros((x.size, 1))
+        return out, ok
 
 
 @lru_cache(maxsize=64)
@@ -365,50 +377,51 @@ def lsh_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
         probe_maps.append(qc)
     ref = ray.put((qd, qids_sorted, probe_maps))
 
-    class _BucketScore:
-        def __init__(self):
-            self.qd, self.qids, self.probe_maps = ray.get(ref)
-            self.coders = [
-                _cached_coder(dim, nbits, seed + 7919 * t) for t in range(ntables)
-            ]
-            qm = np.stack([self.qd[q] for q in self.qids])
-            self.qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = _embedding_matrix(batch)
-            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            n, nq = emb.shape[0], len(self.qids)
-            cand = np.zeros((nq, n), dtype=bool)  # union over tables
-            for t in range(ntables):
-                codes = self.coders[t].code(emb)
-                for code, ranks in self.probe_maps[t].items():
-                    rows = codes == code
-                    if not rows.any():
-                        continue
-                    for r in ranks:
-                        cand[r] |= rows
-            norms = np.linalg.norm(emb, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            embn = emb / norms
-            out_q, out_v, out_s = [], [], []
-            for r, qid in enumerate(self.qids):
-                rows = np.nonzero(cand[r] & (vids != qid))[0]
-                if rows.size == 0:
+    def _bucket_score(batch: pa.Table) -> pa.Table:
+        qd_, qids, probe_maps_ = _lsh_query_state(ref)
+        coders = [_cached_coder(dim, nbits, seed + 7919 * t)
+                  for t in range(ntables)]
+        qm = np.stack([qd_[q] for q in qids])
+        qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        emb = _embedding_matrix(batch)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        n, nq = emb.shape[0], len(qids)
+        cand = np.zeros((nq, n), dtype=bool)  # union over tables
+        for t in range(ntables):
+            codes = coders[t].code(emb)
+            for code, ranks in probe_maps_[t].items():
+                rows = codes == code
+                if not rows.any():
                     continue
-                sims = np.round(embn[rows] @ self.qnorm[r], 6)
-                sel = np.lexsort((vids[rows], -sims))[:k]
-                take = rows[sel]
-                out_q.extend([qid] * len(take))
-                out_v.extend(int(v) for v in vids[take])
-                out_s.extend(sims[sel])
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_v, pa.int64()),
-                    "sim": pa.array(out_s, pa.float64()),
-                }
-            )
+                for r in ranks:
+                    cand[r] |= rows
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        embn = emb / norms
+        out_q, out_v, out_s = [], [], []
+        for r, qid in enumerate(qids):
+            rows = np.nonzero(cand[r] & (vids != qid))[0]
+            if rows.size == 0:
+                continue
+            sims = np.round(embn[rows] @ qnorm[r], 6)
+            sel = np.lexsort((vids[rows], -sims))[:k]
+            take = rows[sel]
+            out_q.extend([qid] * len(take))
+            out_v.extend(int(v) for v in vids[take])
+            out_s.extend(sims[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
 
-    partial = emb_ds.map_batches(_BucketScore, batch_format="pyarrow",
-                                 batch_size=4096, concurrency=(1, 4))
+    partial = emb_ds.map_batches(_bucket_score, batch_format="pyarrow",
+                                 batch_size=4096)
     return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")
+
+
+@lru_cache(maxsize=8)
+def _lsh_query_state(ref):
+    return ray.get(ref)

@@ -25,9 +25,7 @@ and the output), so results hash-compare exactly against DuckDB
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
-import ray
 
 I64 = np.int64
 

@@ -30,6 +30,8 @@ All emitted pairs are canonical ``a < b`` (deterministic, retry-safe).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -500,6 +502,14 @@ def build_kv_store(ds, key_col: str, val_col: str,
     return bounds, shard_refs
 
 
+@functools.lru_cache(maxsize=8)
+def _kv_lookup(store_ref) -> "_ShardedKvLookup":
+    """Per-process lookup cache keyed by the store ref: stateless
+    warm-worker tasks share lazily-fetched shards without paying
+    actor-pool respawn per execution."""
+    return _ShardedKvLookup(store_ref)
+
+
 class _ShardedKvLookup:
     """Lazy per-batch shard fetch for a build_kv_store map (the Jaccard
     Verifier's access pattern): a task ray.gets only the shards its
@@ -579,23 +589,20 @@ def simhash_dup_pairs(sig_ds, max_hamming: int = 3, num_bands: int = 4,
 
     store_ref = ray.put(build_kv_store(sig_ds, "file_id", "simhash", num_shards))
 
-    class _HammingVerify(_ShardedKvLookup):
-        def __init__(self):
-            super().__init__(store_ref)
+    def _hamming_verify(batch: pa.Table) -> pa.Table:
+        look = _kv_lookup(store_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        ha, oka = look.lookup(a)
+        hb, okb = look.lookup(b)
+        d = np.asarray(H.hamming64(ha.view(np.uint64), hb.view(np.uint64)))
+        keep = oka & okb & (d <= max_hamming)
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "hamming": pa.array(d[keep].astype(I64), pa.int64())})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch["a"].to_numpy(zero_copy_only=False)
-            b = batch["b"].to_numpy(zero_copy_only=False)
-            ha, oka = self.lookup(a)
-            hb, okb = self.lookup(b)
-            d = np.asarray(H.hamming64(ha.view(np.uint64), hb.view(np.uint64)))
-            keep = oka & okb & (d <= max_hamming)
-            return pa.table({"a": pa.array(a[keep], pa.int64()),
-                             "b": pa.array(b[keep], pa.int64()),
-                             "hamming": pa.array(d[keep].astype(I64), pa.int64())})
-
-    return cand.map_batches(_HammingVerify, batch_format="pyarrow",
-                            batch_size=65536, concurrency=(1, 8))
+    return cand.map_batches(_hamming_verify, batch_format="pyarrow",
+                            batch_size=65536)
 
 
 def candidate_pairs(banded_ds, cfg: PipelineConfig):
