@@ -717,6 +717,15 @@ def q_ann_topk_lsh(sf_dir: str):
     return lsh_topk(emb, _load_queries(sf_dir), k=5)
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF approximate top-5 (distributed k-means coarse quantizer +
+    probed-cell scan) — rows-only; recall vs brute pinned by pytest."""
+    from hsearch_ray.stages.ann import ivf_topk
+
+    emb = _read(sf_dir, "embeddings")
+    return ivf_topk(emb, _load_queries(sf_dir), k=5)
+
+
 # ---------------------------------------------------------------- registry
 
 def q_session_stats(sf_dir: str):
@@ -768,6 +777,7 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "explode_lines_docs": q_explode_lines_docs,
     "user_first_event": q_user_first_event,
     "corpus_stats_docs": q_corpus_stats_docs,

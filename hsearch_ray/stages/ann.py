@@ -425,3 +425,105 @@ def lsh_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
 @lru_cache(maxsize=8)
 def _lsh_query_state(ref):
     return ray.get(ref)
+
+
+# ------------------------------------------------------------------ IVF
+
+
+def kmeans_fit(emb_ds, nlist: int, iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Distributed Lloyd's k-means over the embedding column — the IVF
+    coarse quantizer.  Per iteration: centroids broadcast once
+    (ray.put), every batch computes one argmax-dot assignment + emits
+    per-centroid (sum, count) PARTIALS (vectorized np.add.at), a tiny
+    driver combine updates the centroids.  No shuffle; driver traffic is
+    O(nlist·dim·blocks).  Deterministic: seeded init from the dataset's
+    first rows, cosine (normalized) geometry throughout."""
+    first = emb_ds.limit(max(nlist * 4, 256)).to_pandas()
+    mat = np.stack(first["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.Generator(np.random.PCG64(seed ^ 0xC0A3))
+    pick = rng.choice(mat.shape[0], size=min(nlist, mat.shape[0]), replace=False)
+    centroids = mat[np.sort(pick)]
+
+    for _ in range(iters):
+        ref = ray.put(centroids)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(ref)  # zero-copy numpy
+            m = _embedding_matrix(batch)
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=c.shape[0]).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(np.arange(c.shape[0], dtype=np.int64)),
+                "vec_sum": pa.array([row.tolist() for row in sums],
+                                    pa.list_(pa.float64())),
+                "n": pa.array(cnt, pa.int64()),
+            })
+
+        pdf = emb_ds.map_batches(_partial, batch_format="pyarrow",
+                                 batch_size=8192).to_pandas()
+        sums = np.zeros_like(centroids)
+        cnt = np.zeros(centroids.shape[0], dtype=np.int64)
+        for cid, vs, n in zip(pdf["cid"], pdf["vec_sum"], pdf["n"]):
+            sums[int(cid)] += np.asarray(vs)
+            cnt[int(cid)] += int(n)
+        live = cnt > 0
+        centroids[live] = sums[live] / cnt[live, None]
+        centroids /= np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+    return centroids
+
+
+def ivf_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
+             nlist: int = 32, nprobe: int = 8, iters: int = 4,
+             seed: int = 42):
+    """IVF ANN: k-means coarse quantizer (kmeans_fit) + per-query probe
+    of the ``nprobe`` nearest centroid cells.  Each batch assigns its
+    vectors to cells with one argmax-dot, scores ONLY the vectors in a
+    query's probed cells, and emits partial top-k; a tiny groupby merges
+    (the same final merge as the brute/LSH arms, so tie-break semantics
+    are identical).  Approximate by design; recall pinned by test."""
+    qd = {int(i): np.asarray(v, dtype=np.float64) for i, v in query_vectors.items()}
+    centroids = kmeans_fit(emb_ds, nlist, iters=iters, seed=seed)
+    qids = np.array(sorted(qd), dtype=np.int64)
+    qm = np.stack([qd[i] for i in qids])
+    qnorm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    # (nq, nlist) bool probe table, built once on the driver
+    order = np.argsort(-(qnorm @ centroids.T), axis=1, kind="stable")
+    probe = np.zeros((qids.size, centroids.shape[0]), dtype=bool)
+    np.put_along_axis(probe, order[:, : min(nprobe, centroids.shape[0])],
+                      True, axis=1)
+    ref = ray.put((qids, qnorm, centroids, probe))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        qids_, qnorm_, cents, probe_ = _lsh_query_state(ref)
+        emb = _embedding_matrix(batch)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        norms = np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        embn = emb / norms
+        assign = np.argmax(embn @ cents.T, axis=1)  # (n,)
+        cand = probe_[:, assign]  # (nq, n)
+        out_q, out_v, out_s = [], [], []
+        for r, qid in enumerate(qids_):
+            rows = np.nonzero(cand[r] & (vids != qid))[0]
+            if rows.size == 0:
+                continue
+            sims = np.round(embn[rows] @ qnorm_[r], 6)
+            sel = np.lexsort((vids[rows], -sims))[:k]
+            out_q.extend([int(qid)] * len(sel))
+            out_v.extend(int(v) for v in vids[rows[sel]])
+            out_s.extend(sims[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = emb_ds.map_batches(_score, batch_format="pyarrow", batch_size=4096)
+    return partial.groupby("query_id").map_groups(_final_topk(k), batch_format="pandas")

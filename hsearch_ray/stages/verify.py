@@ -300,6 +300,14 @@ def _build_shard(lo: int, hi: int, id_filter, k: int, canon: bool, *blocks):
     ever exists (a prior design materialized ~8 bytes per corpus byte of
     packed shingles before assembly, which pushed the object store into
     spill exactly at the scale the store was meant to serve)."""
+    kind, payload = id_filter
+    if kind == "exact":
+        # pre-slice the shared sorted id array to THIS shard's range:
+        # membership probes then hit a cache-resident slice instead of
+        # random-accessing the full array per block (profiled at 55% of
+        # shard-build time on a 1.25M-candidate corpus)
+        payload = payload[np.searchsorted(payload, lo):
+                          np.searchsorted(payload, hi)]
     fid_parts, len_parts, val_parts = [], [], []
     for tbl in blocks:
         if tbl.num_rows == 0:
@@ -307,11 +315,12 @@ def _build_shard(lo: int, hi: int, id_filter, k: int, canon: bool, *blocks):
         fid = tbl["file_id"].to_numpy(zero_copy_only=False)
         mask = (fid >= lo) & (fid < hi)
         if mask.any():
-            kind, payload = id_filter
-            if kind == "bloom":
-                mask &= bloom_contains(payload, fid)
-            else:
-                mask &= _in_sorted(payload, fid)
+            # probe only the rows already inside the range
+            rows = np.nonzero(mask)[0]
+            ok = (bloom_contains(payload, fid[rows]) if kind == "bloom"
+                  else _in_sorted(payload, fid[rows]))
+            mask = np.zeros(fid.size, dtype=bool)
+            mask[rows[ok]] = True
         if not mask.any():
             continue
         sel = np.nonzero(mask)[0]

@@ -149,3 +149,31 @@ def test_lsh_topk_more_tables_improve_recall(ray_session):
     # top-5 tail entries are near-random neighbors in 32-d, so full
     # top-5 recall is intrinsically modest at nbits=8
     assert r4 >= 0.5
+
+
+def test_ivf_topk_recall(ray_session):
+    """IVF (k-means cells + nprobe probing) recall vs the exact brute
+    arm on the planted-dup fixture; probing more cells helps."""
+    import ray.data
+
+    from hsearch_ray.stages.ann import brute_force_topk, ivf_topk
+
+    import numpy as np
+
+    ids, mat, tbl = _planted_embeddings(seed=31)
+    rng = np.random.Generator(np.random.PCG64(8))
+    q = {int(i): mat[i] + 0.05 * rng.standard_normal(mat.shape[1])
+         for i in rng.choice(ids.size, size=8, replace=False)}
+    ds = lambda: ray.data.from_arrow([tbl.slice(0, 150), tbl.slice(150)])  # noqa: E731
+    bf = brute_force_topk(ds(), q, k=5).to_pandas()
+    want = set(zip(bf["query_id"], bf["neighbor_id"]))
+
+    def recall(nprobe):
+        got = ivf_topk(ds(), q, k=5, nlist=16, nprobe=nprobe).to_pandas()
+        return len(want & set(zip(got["query_id"], got["neighbor_id"]))) / len(want)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= r2
+    assert r8 >= 0.6
+    # full probe == exact: every cell scanned reproduces brute force
+    assert recall(16) == 1.0
