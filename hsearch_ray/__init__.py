@@ -21,5 +21,21 @@ kernels in ``hashing`` so signatures are bit-identical between paths.
 
 from hsearch_ray.config import PipelineConfig
 
+
+def _tune_data_context() -> None:
+    """Per-block polars sorts: measured ~20% faster than the pyarrow
+    path on the engine's int64-key exchanges (gkey/pair sorts dominate
+    the flagship).  Key order is identical; only block-sort speed
+    changes.  Safe before ray.init; workers inherit the context."""
+    try:
+        import ray.data
+
+        ray.data.DataContext.get_current().use_polars_sort = True
+    except Exception:  # pragma: no cover - ray.data always importable here
+        pass
+
+
+_tune_data_context()
+
 __all__ = ["PipelineConfig"]
 __version__ = "0.1.0"
