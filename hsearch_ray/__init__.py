@@ -6,12 +6,14 @@ clustering + suffix/substring analysis; see SURVEY.md) for source-code
 near-dup detection at web scale, built on ray.data.Dataset pipelines:
 
     read_parquet -> map_batches(normalize+sha256)      (stateless)
-      -> groupby(sha256) exact dedup                    (shuffle 1)
-      -> map_batches(Signer actor pool)                 minhash+simhash
-      -> band explode -> groupby(band, hash)            (shuffle 2)  candidate pairs
-      -> groupby(a,b) distinct                          (shuffle 3)
-      -> map_batches(Verifier actor pool)               exact Jaccard
-      -> distributed connected components               (shuffles 4..)
+      -> exact dedup (narrow partials + broadcast tag)  no content shuffle
+      -> map_batches(Signer)                            minhash+simhash (warm
+                                                        tasks, per-process state)
+      -> band explode -> sort(gkey) run scan            (shuffle 1)  candidate pairs
+      -> sort(a) + void-key block distinct              (shuffle 2)
+      -> map_batches(Verifier)                          exact Jaccard over the
+                                                        sharded zero-copy store
+      -> connected components                           tiny edge set
       -> clusters / pairs / metrics parquet sinks
 
 All hashing is deterministic and seeded (``config.seed``); the

@@ -15,9 +15,11 @@ loop goes quadratic on hot buckets):
   * Bucket stats come from a vectorized partial aggregation
     (stages.agg) — one (count, min) row per bucket per batch, no
     per-row-Python aggregate, no full-row shuffle.
-  * Singleton buckets (the vast majority) are filtered OUT with a
-    broadcast key-set semi-join before the pair-emission groupby, so
-    the sort shuffle only moves rows that can actually produce a pair.
+  * Singleton buckets (the vast majority) cost one compare in the
+    sorted run scan and emit nothing — the sort IS the grouping, so no
+    separate semi-join pass is needed (a pre-count pass to drop
+    singleton postings before the sort was evaluated and rejected:
+    counting requires the same exchange it would save).
   * Hot buckets (> cap) NEVER gather on one worker: members emit
     hub-star edges (bucket_min, member) inside a stateless map_batches
     against a tiny broadcast {hot_key: min_fid} map — O(n) edges, no
