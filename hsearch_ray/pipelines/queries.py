@@ -433,18 +433,23 @@ def q_corpus_stats_docs(sf_dir: str):
     )
 
 
-def exact_median_distributed(ds, value_col: str = "value",
-                             max_fetch: int = 500_000, nbins: int = 4096,
-                             max_rounds: int = 8) -> float:
-    """Exact median (A6 analog) WITHOUT materializing the column on the
-    driver: (1) distributed min/max/count partials, (2) distributed
-    histogram partials locate the bin(s) holding the middle order
-    statistics, RECURSING on the middle bins while they still hold more
-    than ``max_fetch`` rows (a skewed distribution can put ~all rows in
-    one bin — each round narrows by ~nbins regardless), (3) only the
-    final, driver-sized middle range is fetched for the exact finish.
-    Only histogram partials (nbins rows/batch) and the final range ever
-    reach the driver.  Returns nan on an empty column."""
+def exact_order_stat_distributed(ds, value_col: str = "value",
+                                 kfn=None,
+                                 max_fetch: int = 500_000, nbins: int = 4096,
+                                 max_rounds: int = 8) -> float:
+    """Exact order statistic (A6 analog — median, p90, any quantile)
+    WITHOUT materializing the column on the driver: (1) distributed
+    min/max/count partials, (2) distributed histogram partials locate
+    the bin(s) holding the wanted order statistics, RECURSING on those
+    bins while they still hold more than ``max_fetch`` rows (a skewed
+    distribution can put ~all rows in one bin — each round narrows by
+    ~nbins regardless), (3) only the final, driver-sized range is
+    fetched for the exact finish.  Only histogram partials (nbins
+    rows/batch) and the final range ever reach the driver.
+
+    ``kfn(n) -> (k1, k2)`` maps the row count to the two 0-indexed order
+    statistics to average (k1 == k2 for a single element); the default
+    is the median pair ((n-1)//2, n//2).  Returns nan on empty input."""
 
     def _mmc(df: pd.DataFrame) -> pd.DataFrame:
         v = df["value_col_"].to_numpy(dtype=np.float64)
@@ -462,7 +467,7 @@ def exact_median_distributed(ds, value_col: str = "value",
     lo, hi, n = float(mmc["lo"].min()), float(mmc["hi"].max()), int(mmc["n"].sum())
     if n == 0:
         return float("nan")
-    k1, k2 = (n - 1) // 2, n // 2
+    k1, k2 = kfn(n) if kfn is not None else ((n - 1) // 2, n // 2)
     # chained bin predicates from previous rounds: a row is in the
     # current range iff EVERY (plo, pwidth, pb1, pb2) filter admits it —
     # re-applying the exact bin formula sidesteps float-boundary drift
@@ -517,9 +522,32 @@ def exact_median_distributed(ds, value_col: str = "value",
     return round(float((m1 + m2) / 2.0), 6)
 
 
+def exact_median_distributed(ds, value_col: str = "value",
+                             max_fetch: int = 500_000, nbins: int = 4096,
+                             max_rounds: int = 8) -> float:
+    """Exact median: the (k1, k2) = ((n-1)//2, n//2) order-stat pair."""
+    return exact_order_stat_distributed(
+        ds, value_col, kfn=None, max_fetch=max_fetch, nbins=nbins,
+        max_rounds=max_rounds,
+    )
+
+
 def q_median_event_value(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["value"])
     return pd.DataFrame({"median_value": [exact_median_distributed(ds, "value")]})
+
+
+def q_p90_event_value(sf_dir: str):
+    """Exact p90 (A6 generalized to any order statistic): the element at
+    0-index 9*(n-1)//10 of the sorted column — pure integer index math,
+    so the oracle (ORDER BY + OFFSET with the same integer expression)
+    is float-ambiguity-free.  Same distributed histogram recursion as
+    the median; nothing O(corpus) reaches the driver."""
+    ds = _read(sf_dir, "events", columns=["value"])
+    v = exact_order_stat_distributed(
+        ds, "value", kfn=lambda n: ((9 * (n - 1)) // 10,) * 2
+    )
+    return pd.DataFrame({"p90_value": [v]})
 
 
 def q_cluster_stats_docs(sf_dir: str):
@@ -751,6 +779,188 @@ def q_purchase_attribution(sf_dir: str):
     return asof_prior_event(ds, left_type="purchase", right_type="click")
 
 
+def q_top_tokens_docs(sf_dir: str):
+    """Corpus vocabulary top-k — the high-cardinality-key shuffle
+    pattern: per-batch vectorized token counts (the combiner), a fully
+    distributed grouped sum over the token key (grouped_agg_ds — the
+    vocabulary never lands on the driver), then a distributed
+    (n desc, token) sort + limit.  Ties at the cut break by token, so
+    the top-20 set is deterministic and hash-comparable."""
+    from hsearch_ray.stages.agg import grouped_agg_ds
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(r"\S+").explode().dropna()
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str),
+             "cnt": vc.to_numpy(dtype=np.int64)}
+        )
+
+    partials = ds.map_batches(prep, batch_format="pandas", batch_size=2048)
+    vocab = grouped_agg_ds(partials, ["token"], {"cnt": ["sum"]})
+    projected = vocab.map_batches(
+        lambda df: pd.DataFrame(
+            {"token": df["token"], "n": df["cnt__sum"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    return projected.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
+def q_top_orders_by_segment(sf_dir: str):
+    """Grouped top-k (the per-group limit operator): 3 priciest orders
+    per market segment.  Per-block partial top-k (each block emits <= k
+    rows per segment it sees — the classic combiner), then a tiny
+    driver final over <= k x segments x blocks rows; no global sort.
+    Segment attach is the repo-standard broadcast probe (customer is
+    genuinely the small side; the hash-join alternative for a big
+    dimension is demonstrated by inactive_customers)."""
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(ck, kind="stable")
+    ck = ck[order]
+    seg = cust["c_mktsegment"].to_numpy()[order]
+    ref = ray.put((ck, seg))
+
+    def _partial(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        ck, seg = ray.get(ref)
+        ok = df["o_custkey"].to_numpy(dtype=np.int64)
+        pos = np.minimum(np.searchsorted(ck, ok), ck.size - 1)
+        hit = ck[pos] == ok
+        out = pd.DataFrame(
+            {
+                "segment": seg[pos[hit]],
+                "o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64)[hit],
+                "price_c": _cents(df["o_totalprice"])[hit],
+            }
+        )
+        out = out.sort_values(["price_c", "o_orderkey"],
+                              ascending=[False, True])
+        return out.groupby("segment", sort=False).head(3)
+
+    partials = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    ).map_batches(_partial, batch_format="pandas", batch_size=65536).to_pandas()
+    fin = (
+        partials.sort_values(["price_c", "o_orderkey"], ascending=[False, True])
+        .groupby("segment", sort=False)
+        .head(3)
+        .sort_values(["segment", "price_c", "o_orderkey"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    fin["rnk"] = (fin.groupby("segment").cumcount() + 1).astype("int64")
+    return fin[["segment", "o_orderkey", "price_c", "rnk"]]
+
+
+# Holdout split for the decontamination query: benchmark sets are tiny
+# by definition — the broadcast of their shingle set is the scale story.
+_DECON_HOLDOUT_MAX_ID = 20
+# Decon uses a LONGER shingle than the near-dup pipeline (24 vs 9 chars):
+# 9-char shingles flag every train doc (shared boilerplate phrases),
+# 24-char overlap means a genuinely copied span — 21/480 docs at sf0.01.
+_DECON_K = 24
+
+
+def q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination — the train-vs-holdout overlap pass a
+    training-data pipeline runs before every release: docs with
+    doc_id < 20 are the held-out eval set; every other (train) doc is
+    flagged if it shares any k-char shingle with ANY holdout doc.
+
+    Scale shape: the holdout shingle-hash set is small by definition ->
+    built once on the driver, ``ray.put`` once, probed per batch with
+    one searchsorted over each batch's concatenated unique shingles
+    (the batched rolling-hash kernel, stages/signatures.batched_streams).
+    Equality with the string-set oracle rests on the same
+    hash-collision argument as the shingle CTEs (~1e-13 here).
+    Output: (doc_id, n_hits, contaminated) for every train doc."""
+    from hsearch_ray.stages.signatures import batched_streams
+
+    k = _DECON_K
+    hold_df = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .filter(expr=f"doc_id < {_DECON_HOLDOUT_MAX_ID}")
+        .to_pandas()
+    )
+    streams = batched_streams(
+        pa.chunked_array([pa.array(hold_df["text"], pa.string())]), k
+    )
+    hold = (
+        np.unique(np.concatenate(streams))
+        if streams else np.empty(0, np.uint64)
+    )
+    ref = ray.put(hold)
+
+    def _score(batch: pa.Table, ref=ref) -> pa.Table:
+        hold = ray.get(ref)
+        uniqs = [np.unique(s) for s in batched_streams(batch["text"], k)]
+        sizes = np.array([u.size for u in uniqs], dtype=np.int64)
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        allu = (np.concatenate(uniqs) if offs[-1]
+                else np.empty(0, np.uint64))
+        if hold.size:
+            pos = np.minimum(np.searchsorted(hold, allu), hold.size - 1)
+            hit = hold[pos] == allu
+        else:
+            hit = np.zeros(allu.size, dtype=bool)
+        c = np.concatenate([[0], np.cumsum(hit)])
+        n_hits = (c[offs[1:]] - c[offs[:-1]]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .filter(expr=f"doc_id >= {_DECON_HOLDOUT_MAX_ID}")
+        .map_batches(_score, batch_format="pyarrow", batch_size=2048)
+    )
+
+
+# Price bar for the anti-join: the synthetic orders table covers nearly
+# every customer, so "no order at all" is ~empty at every sf; "no order
+# above this bar" keeps the query non-trivial (20 rows at sf0.001,
+# ~200 at sf0.01) while exercising the identical join plan.
+_INACTIVE_PRICE_BAR = 400_000
+
+
+def q_inactive_customers(sf_dir: str):
+    """Anti-join via Ray Data's distributed hash join — the one query
+    exercising the genuine shuffle join (every other join in the repo is
+    a broadcast probe by design, which assumes a driver-sized small
+    side; an anti-join against the distinct-big-orderers set has no
+    small side at scale).  Customers with NO order above the price bar:
+    distinct big-spenders via grouped_agg_ds (one row per custkey,
+    distributed), LEFT-OUTER hash-join customers against it, keep the
+    null-matched rows, count by market segment."""
+    from hsearch_ray.stages.agg import grouped_agg_ds
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).filter(expr=f"o_totalprice > {_INACTIVE_PRICE_BAR}")
+    orderers = grouped_agg_ds(orders, ["o_custkey"], {}, count_alias="n_o")
+    joined = cust.join(
+        orderers, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def _unmatched(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["n_o"].isna(), ["c_mktsegment"]]
+
+    inactive = joined.map_batches(_unmatched, batch_format="pandas")
+    out = grouped_agg(inactive, ["c_mktsegment"], {}, count_alias="n_inactive")
+    out["n_inactive"] = out["n_inactive"].astype("int64")
+    return out
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -786,6 +996,11 @@ QUERIES = {
     "sample_events": q_sample_events,
     "session_stats": q_session_stats,
     "purchase_attribution": q_purchase_attribution,
+    "p90_event_value": q_p90_event_value,
+    "top_tokens_docs": q_top_tokens_docs,
+    "top_orders_by_segment": q_top_orders_by_segment,
+    "decontaminate_docs": q_decontaminate_docs,
+    "inactive_customers": q_inactive_customers,
 }
 
 
@@ -1121,6 +1336,59 @@ ORACLE_SQL = {
     """,
     "median_event_value": """
         SELECT round(median(value), 6) AS median_value FROM events
+    """,
+    "p90_event_value": """
+        SELECT round(value, 6) AS p90_value FROM events
+        ORDER BY value
+        LIMIT 1 OFFSET (SELECT (9*(count(*)-1))//10 FROM events)
+    """,
+    "top_tokens_docs": r"""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+              FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    "top_orders_by_segment": """
+        SELECT segment, o_orderkey, price_c, rnk FROM (
+          SELECT c.c_mktsegment AS segment, o.o_orderkey,
+                 CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS price_c,
+                 row_number() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY floor(o.o_totalprice*100 + 0.5) DESC, o.o_orderkey
+                 ) AS rnk
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ) WHERE rnk <= 3
+    """,
+    "decontaminate_docs": f"""
+        WITH docs AS (
+          SELECT doc_id, replace(text, chr(13) || chr(10), chr(10)) AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(length(t) - {_DECON_K - 1}, 1))) AS i
+          FROM docs
+        ),
+        sh AS (SELECT DISTINCT doc_id, substr(t, i, {_DECON_K}) AS s FROM pos),
+        hold AS (SELECT DISTINCT s FROM sh WHERE doc_id < {_DECON_HOLDOUT_MAX_ID}),
+        hits AS (
+          SELECT sh.doc_id, count(*) AS n_hits
+          FROM sh JOIN hold ON sh.s = hold.s
+          WHERE sh.doc_id >= {_DECON_HOLDOUT_MAX_ID}
+          GROUP BY sh.doc_id
+        )
+        SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM docs d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id >= {_DECON_HOLDOUT_MAX_ID}
+    """,
+    "inactive_customers": f"""
+        SELECT c_mktsegment, count(*) AS n_inactive
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_totalprice > {_INACTIVE_PRICE_BAR})
+        GROUP BY c_mktsegment
     """,
     # no oracle (rows-only, genuinely non-SQL-expressible): simhash_docs
     # (byte-level rolling-hash bit votes), lsh_bucket_histogram (depends
