@@ -1,0 +1,96 @@
+"""Oracle-parity gates for the round-3 coverage queries at sf0.001.
+
+Each test runs the registered Ray query AND its DuckDB oracle SQL over
+the driver testdata and compares with the driver's exact discipline
+(row count, column-name set, order-insensitive value hash) so the suite
+— not only the per-round driver run — guards these queries.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+NEW_QUERIES = [
+    "p90_event_value",
+    "top_tokens_docs",
+    "top_orders_by_segment",
+    "decontaminate_docs",
+    "inactive_customers",
+]
+# trivially-empty results would vacuously pass the hash compare; pin the
+# minimum result sizes observed on the sf0.001 testdata
+MIN_ROWS = {
+    "p90_event_value": 1,
+    "top_tokens_docs": 20,
+    "top_orders_by_segment": 15,
+    "decontaminate_docs": 480,
+    "inactive_customers": 4,
+}
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_check import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_query_matches_oracle(ray_session, oracle_con, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_check import to_pandas, value_hash
+
+    from hsearch_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    mine = to_pandas(QUERIES[name](SF))
+    oracle = oracle_con.sql(ORACLE_SQL[name]).df()
+    assert len(mine) == len(oracle)
+    assert len(mine) >= MIN_ROWS[name]
+    assert sorted(mine.columns) == sorted(oracle.columns)
+    assert value_hash(mine) == value_hash(oracle)
+
+
+def test_decontamination_is_discriminative(ray_session):
+    """The 24-char decon shingle must separate copied spans from shared
+    boilerplate: some — but not all — train docs flagged."""
+    from hsearch_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["decontaminate_docs"](SF)
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
+    n = int(df["contaminated"].sum())
+    assert 0 < n < len(df)
+
+
+def test_p90_on_skewed_column(ray_session):
+    """Order-stat recursion with 90% of rows in one histogram bin and a
+    driver fetch bound far below the bin population."""
+    import numpy as np
+    import ray.data
+
+    from hsearch_ray.pipelines.queries import exact_order_stat_distributed
+
+    rng = np.random.default_rng(7)
+    v = np.where(rng.random(40_000) < 0.9, 5.0 + rng.random(40_000) * 1e-6,
+                 rng.random(40_000) * 1000.0)
+    ds = ray.data.from_arrow(
+        [__import__("pyarrow").table({"value": c}) for c in np.array_split(v, 8)]
+    )
+    got = exact_order_stat_distributed(
+        ds, "value", kfn=lambda n: ((9 * (n - 1)) // 10,) * 2,
+        max_fetch=2_000, nbins=64,
+    )
+    want = round(float(np.sort(v)[(9 * (v.size - 1)) // 10]), 6)
+    assert got == want
