@@ -961,6 +961,69 @@ def q_inactive_customers(sf_dir: str):
     return out
 
 
+def q_hourly_events(sf_dir: str):
+    """Tumbling (fixed-width) window aggregate over the event stream —
+    the batch-friendly sibling of the gap-based session window: one row
+    per (hour bucket, event_type) with count + int-cents value sum.
+    Bucketing is pure integer math on epoch-us (no shuffle beyond the
+    grouped-sum combine); value follows the repo's int-cents discipline
+    so the oracle sum is IEEE-exact."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {
+                "hour_bucket": us // 3_600_000_000,
+                "event_type": df["event_type"],
+                "value_c": _cents(df["value"]),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    out = grouped_agg(prepped, ["hour_bucket", "event_type"],
+                      {"value_c": ["sum"]}, count_alias="n")
+    out = out.rename(columns={"value_c__sum": "sum_value_c"})
+    out["n"] = out["n"].astype("int64")
+    out["sum_value_c"] = out["sum_value_c"].astype("int64")
+    return out
+
+
+# Deterministic-sample knobs: Knuth multiplicative hash (2654435761 =
+# floor(2^32/phi), public-domain constant) mod 2^32 against a threshold.
+# Unlike random_shuffle sampling (engine-specific — `sample_events` is
+# rows-only for that reason) this predicate is a pure row function, so
+# the SAME rows are kept by any engine: resumable, join-stable across
+# tables, and exactly DuckDB-expressible (HUGEINT product mod 2^32 ==
+# uint64 wrapping product mod 2^32 because 2^32 | 2^64).
+_SAMPLE_MULT = 2654435761
+_SAMPLE_THRESHOLD = 1 << 28  # 2^28 / 2^32 = 1/16 keep rate
+
+
+def q_hash_sample_events(sf_dir: str):
+    """Deterministic hash sample (O6/O8 done exactly): keep events whose
+    multiplicative id-hash lands under the threshold.  Embarrassingly
+    parallel — a vectorized predicate per batch, no shuffle, no state."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        h = (eid.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) % np.uint64(1 << 32)
+        keep = h < np.uint64(_SAMPLE_THRESHOLD)
+        sub = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": sub["event_id"].cast(pa.int64()),
+                "user_id": sub["user_id"].cast(pa.int64()),
+                "value_c": pa.array(
+                    _cents(sub["value"].to_pandas()), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -1001,6 +1064,8 @@ QUERIES = {
     "top_orders_by_segment": q_top_orders_by_segment,
     "decontaminate_docs": q_decontaminate_docs,
     "inactive_customers": q_inactive_customers,
+    "hourly_events": q_hourly_events,
+    "hash_sample_events": q_hash_sample_events,
 }
 
 
@@ -1389,6 +1454,20 @@ ORACLE_SQL = {
             SELECT o_custkey FROM orders
             WHERE o_totalprice > {_INACTIVE_PRICE_BAR})
         GROUP BY c_mktsegment
+    """,
+    "hourly_events": """
+        SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_c
+        FROM events GROUP BY 1, 2
+    """,
+    "hash_sample_events": f"""
+        SELECT event_id, user_id,
+               CAST(floor(value*100 + 0.5) AS BIGINT) AS value_c
+        FROM events
+        WHERE (CAST(event_id AS HUGEINT) * {_SAMPLE_MULT}) % 4294967296
+              < {_SAMPLE_THRESHOLD}
     """,
     # no oracle (rows-only, genuinely non-SQL-expressible): simhash_docs
     # (byte-level rolling-hash bit votes), lsh_bucket_histogram (depends

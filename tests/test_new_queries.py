@@ -17,6 +17,8 @@ NEW_QUERIES = [
     "top_orders_by_segment",
     "decontaminate_docs",
     "inactive_customers",
+    "hourly_events",
+    "hash_sample_events",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -26,6 +28,8 @@ MIN_ROWS = {
     "top_orders_by_segment": 15,
     "decontaminate_docs": 480,
     "inactive_customers": 4,
+    "hourly_events": 100,
+    "hash_sample_events": 10,
 }
 
 
