@@ -1024,6 +1024,71 @@ def q_hash_sample_events(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+# Snapshot split for incremental dedup: docs below are the standing
+# index, docs at/above are the "new snapshot" probed against it.
+_INCR_SPLIT = 300
+
+
+def q_incremental_dedup_docs(sf_dir: str):
+    """Incremental (snapshot-vs-index) near-dup dedup — the op a
+    continuously-ingesting pipeline runs on every new batch: flag each
+    NEW doc that near-duplicates any doc already in the index.
+
+    Shape: both sides sign + band under the index config (at scale the
+    index side's signatures/bands are the standing checkpointed
+    artifact — lineage.write_checkpoint — so only the new batch pays
+    signing), ONE bucket-key sort over the union emits candidates, a
+    cross-side filter keeps index-vs-new pairs, and exact Jaccard
+    verification runs on those only.  Within-batch (new-new) dups are
+    the flagship's job, deliberately out of scope here.  Output: one
+    row per new doc with match count, best index match (min id among
+    max rounded jaccard) and the rounded best jaccard.
+    """
+    from hsearch_ray.stages.lsh import band_explode, candidate_pairs
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.signatures import sign
+    from hsearch_ray.stages.verify import verify_pairs
+
+    cfg = PipelineConfig()
+    norm = normalize(_docs_as_corpus(sf_dir)).materialize()
+    banded = band_explode(sign(norm, cfg), cfg)
+    cand, _, _ = candidate_pairs(banded, cfg)
+    cross = cand.filter(
+        expr=f"a < {_INCR_SPLIT} and b >= {_INCR_SPLIT}"
+    ).materialize()
+    vdf = verify_pairs(cross, norm, cfg).to_pandas()
+
+    if vdf.empty:
+        agg = pd.DataFrame(
+            columns=["doc_id", "n_matches", "best_match", "best_jaccard"]
+        )
+    else:
+        vdf["jaccard"] = vdf["jaccard"].round(6)
+        vdf = vdf.sort_values(["b", "jaccard", "a"],
+                              ascending=[True, False, True])
+        agg = vdf.groupby("b", as_index=False).agg(
+            n_matches=("a", "count"), best_jaccard=("jaccard", "max")
+        )
+        agg = agg.merge(
+            vdf.drop_duplicates("b")[["b", "a"]].rename(
+                columns={"a": "best_match"}
+            ),
+            on="b",
+        ).rename(columns={"b": "doc_id"})
+
+    new_ids = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .filter(expr=f"doc_id >= {_INCR_SPLIT}")
+        .to_pandas()
+    )
+    out = new_ids.merge(agg, on="doc_id", how="left")
+    out["n_matches"] = out["n_matches"].fillna(0).astype("int64")
+    out["best_match"] = out["best_match"].fillna(-1).astype("int64")
+    out["best_jaccard"] = out["best_jaccard"].fillna(0.0).astype("float64")
+    out["is_dup"] = out["n_matches"] > 0
+    return out[["doc_id", "n_matches", "best_match", "best_jaccard", "is_dup"]]
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -1066,6 +1131,7 @@ QUERIES = {
     "inactive_customers": q_inactive_customers,
     "hourly_events": q_hourly_events,
     "hash_sample_events": q_hash_sample_events,
+    "incremental_dedup_docs": q_incremental_dedup_docs,
 }
 
 
@@ -1468,6 +1534,50 @@ ORACLE_SQL = {
         FROM events
         WHERE (CAST(event_id AS HUGEINT) * {_SAMPLE_MULT}) % 4294967296
               < {_SAMPLE_THRESHOLD}
+    """,
+    "incremental_dedup_docs": f"""
+        WITH docs AS (
+          SELECT doc_id, replace(text, chr(13) || chr(10), chr(10)) AS t
+          FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(length(t) - {_SHINGLE_K - 1}, 1))) AS i
+          FROM docs
+        ),
+        sh AS (SELECT DISTINCT doc_id, substr(t, i, {_SHINGLE_K}) AS s FROM pos),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          FROM sh x JOIN sh y ON x.s = y.s
+          WHERE x.doc_id < {_INCR_SPLIT} AND y.doc_id >= {_INCR_SPLIT}
+          GROUP BY x.doc_id, y.doc_id
+        ),
+        cr AS (
+          SELECT a, b, round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS j
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+        ),
+        mx AS (
+          SELECT b, count(*) AS n_matches, max(j) AS best_jaccard
+          FROM cr GROUP BY b
+        ),
+        bm AS (
+          SELECT cr.b, min(cr.a) AS best_match
+          FROM cr JOIN mx ON cr.b = mx.b AND cr.j = mx.best_jaccard
+          GROUP BY cr.b
+        )
+        SELECT d.doc_id,
+               coalesce(mx.n_matches, 0) AS n_matches,
+               coalesce(bm.best_match, -1) AS best_match,
+               coalesce(mx.best_jaccard, 0.0) AS best_jaccard,
+               coalesce(mx.n_matches, 0) > 0 AS is_dup
+        FROM docs d
+        LEFT JOIN mx ON mx.b = d.doc_id
+        LEFT JOIN bm ON bm.b = d.doc_id
+        WHERE d.doc_id >= {_INCR_SPLIT}
     """,
     # no oracle (rows-only, genuinely non-SQL-expressible): simhash_docs
     # (byte-level rolling-hash bit votes), lsh_bucket_histogram (depends

@@ -19,6 +19,7 @@ NEW_QUERIES = [
     "inactive_customers",
     "hourly_events",
     "hash_sample_events",
+    "incremental_dedup_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -30,6 +31,7 @@ MIN_ROWS = {
     "inactive_customers": 4,
     "hourly_events": 100,
     "hash_sample_events": 10,
+    "incremental_dedup_docs": 200,
 }
 
 
@@ -76,6 +78,21 @@ def test_decontamination_is_discriminative(ray_session):
         df = df.to_pandas()
     n = int(df["contaminated"].sum())
     assert 0 < n < len(df)
+
+
+def test_incremental_dedup_flags_some_new_docs(ray_session):
+    """The snapshot split must produce a non-trivial result: some — but
+    not all — new docs match the index, and every flagged doc carries a
+    real best match at/above the verify threshold."""
+    from hsearch_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["incremental_dedup_docs"](SF)
+    dups = df[df["is_dup"]]
+    assert 0 < len(dups) < len(df)
+    assert (dups["best_match"] >= 0).all()
+    assert (dups["best_jaccard"] >= 0.7).all()
+    clean = df[~df["is_dup"]]
+    assert (clean["best_match"] == -1).all()
 
 
 def test_p90_on_skewed_column(ray_session):
