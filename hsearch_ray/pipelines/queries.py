@@ -90,7 +90,7 @@ def q_exact_dup_pairs_docs(sf_dir: str):
     return out[["a", "b"]].astype("int64")
 
 
-def _docs_as_corpus(sf_dir: str):
+def _docs_as_corpus(sf_dir: str, filter_expr: str | None = None):
     """documents -> north-rule corpus shape with file_id := doc_id."""
     def adapt(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -105,7 +105,10 @@ def _docs_as_corpus(sf_dir: str):
             }
         )
 
-    return _read(sf_dir, "documents").map_batches(adapt, batch_format="pyarrow")
+    ds = _read(sf_dir, "documents")
+    if filter_expr is not None:
+        ds = ds.filter(expr=filter_expr)
+    return ds.map_batches(adapt, batch_format="pyarrow")
 
 
 # One pipeline run shared by the five flagship-derived queries: results
@@ -1089,6 +1092,42 @@ def q_incremental_dedup_docs(sf_dir: str):
     return out[["doc_id", "n_matches", "best_match", "best_jaccard", "is_dup"]]
 
 
+# Composite-preprocess quality bar (chars) — drops ~30% of the docs
+# table, so both branches of the recipe are exercised non-trivially.
+_PREPROC_MIN_CHARS = 200
+
+
+def q_preprocess_corpus_docs(sf_dir: str):
+    """The full preprocessing recipe a training-data pipeline runs as
+    ONE composition — quality filter -> near-dup dedup -> disposition —
+    demonstrating that the engine's stages compose as plain
+    Dataset-to-Dataset functions (SURVEY §2.10): every doc gets a
+    status ('short' below the quality bar; 'dup' if a non-representative
+    member of a near-dup cluster among surviving docs; 'kept') plus its
+    cluster representative (-1 for short docs).  The dedup leg is the
+    flagship pipeline verbatim, run over the FILTERED corpus (cluster
+    structure legitimately differs from the whole-table clustering when
+    a bridge doc falls below the bar)."""
+    from hsearch_ray.pipelines.dedup import dedup_pipeline
+
+    res = dedup_pipeline(
+        _docs_as_corpus(sf_dir, f"n_chars >= {_PREPROC_MIN_CHARS}"),
+        PipelineConfig(),
+    )
+    comp = res.clusters.to_pandas()
+    comp.columns = ["doc_id", "rep_id"]
+
+    all_ids = _read(sf_dir, "documents",
+                    columns=["doc_id", "n_chars"]).to_pandas()
+    out = all_ids.merge(comp, on="doc_id", how="left")
+    short = out["n_chars"] < _PREPROC_MIN_CHARS
+    out["rep_id"] = out["rep_id"].fillna(-1).astype("int64")
+    out["status"] = np.where(
+        short, "short", np.where(out["rep_id"] != out["doc_id"], "dup", "kept")
+    )
+    return out[["doc_id", "status", "rep_id"]]
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -1132,6 +1171,7 @@ QUERIES = {
     "hourly_events": q_hourly_events,
     "hash_sample_events": q_hash_sample_events,
     "incremental_dedup_docs": q_incremental_dedup_docs,
+    "preprocess_corpus_docs": q_preprocess_corpus_docs,
 }
 
 
@@ -1578,6 +1618,52 @@ ORACLE_SQL = {
         LEFT JOIN mx ON mx.b = d.doc_id
         LEFT JOIN bm ON bm.b = d.doc_id
         WHERE d.doc_id >= {_INCR_SPLIT}
+    """,
+    "preprocess_corpus_docs": f"""
+        WITH RECURSIVE docs0 AS (
+          SELECT doc_id, text, n_chars,
+                 replace(text, chr(13) || chr(10), chr(10)) AS t
+          FROM documents
+        ),
+        docs AS (SELECT * FROM docs0 WHERE n_chars >= {_PREPROC_MIN_CHARS}),
+        rep AS (
+          SELECT doc_id, text, t,
+                 min(doc_id) OVER (PARTITION BY text) AS rep_id
+          FROM docs
+        ),
+        pos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(length(t) - {_SHINGLE_K - 1}, 1))) AS i
+          FROM rep
+        ),
+        sh AS (SELECT DISTINCT doc_id, substr(t, i, {_SHINGLE_K}) AS s FROM pos),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id
+        ),
+        e AS (
+          SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+          UNION
+          SELECT rep_id AS a, doc_id AS b FROM rep WHERE doc_id <> rep_id
+        ),
+        sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM docs
+          UNION
+          SELECT s.u, reach.r FROM reach JOIN sym s ON s.v = reach.id
+        ),
+        comp AS (SELECT id AS doc_id, min(r) AS rep_id FROM reach GROUP BY id)
+        SELECT d.doc_id,
+               CASE WHEN d.n_chars < {_PREPROC_MIN_CHARS} THEN 'short'
+                    WHEN c.rep_id <> d.doc_id THEN 'dup'
+                    ELSE 'kept' END AS status,
+               coalesce(c.rep_id, -1) AS rep_id
+        FROM docs0 d LEFT JOIN comp c ON c.doc_id = d.doc_id
     """,
     # no oracle (rows-only, genuinely non-SQL-expressible): simhash_docs
     # (byte-level rolling-hash bit votes), lsh_bucket_histogram (depends

@@ -20,6 +20,7 @@ NEW_QUERIES = [
     "hourly_events",
     "hash_sample_events",
     "incremental_dedup_docs",
+    "preprocess_corpus_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -32,6 +33,7 @@ MIN_ROWS = {
     "hourly_events": 100,
     "hash_sample_events": 10,
     "incremental_dedup_docs": 200,
+    "preprocess_corpus_docs": 500,
 }
 
 
@@ -93,6 +95,19 @@ def test_incremental_dedup_flags_some_new_docs(ray_session):
     assert (dups["best_jaccard"] >= 0.7).all()
     clean = df[~df["is_dup"]]
     assert (clean["best_match"] == -1).all()
+
+
+def test_preprocess_composite_exercises_every_branch(ray_session):
+    """'short', 'dup' and 'kept' must all occur; short docs carry no
+    cluster; dup docs point at a kept representative."""
+    from hsearch_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["preprocess_corpus_docs"](SF)
+    counts = df["status"].value_counts()
+    assert set(counts.index) == {"short", "dup", "kept"}
+    assert (df.loc[df["status"] == "short", "rep_id"] == -1).all()
+    kept = set(df.loc[df["status"] == "kept", "doc_id"])
+    assert set(df.loc[df["status"] == "dup", "rep_id"]) <= kept
 
 
 def test_p90_on_skewed_column(ray_session):
