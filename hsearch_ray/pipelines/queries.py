@@ -269,6 +269,9 @@ def q_orders_by_nation(sf_dir: str):
 
     def _attach(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
         ck, cn, nkeys, nname = ray.get(ref)
+        if ck.size == 0 or nkeys.size == 0:  # empty dimension: no matches
+            return pd.DataFrame({"nation": pd.Series(dtype=object),
+                                 "price_c": pd.Series(dtype="int64")})
         ok = df["o_custkey"].to_numpy(dtype=np.int64)
         # clamped membership probe (the _in_sorted pattern): an o_custkey
         # absent from customer must DROP, not silently take a neighbor
@@ -718,7 +721,11 @@ def q_simhash_dup_pairs_docs(sf_dir: str):
 
     cfg = PipelineConfig()
     sigs = sign(normalize(_docs_as_corpus(sf_dir)), cfg, with_simhash=True)
-    return simhash_dup_pairs(sigs.select_columns(["file_id", "simhash"]))
+    # cap=None keeps the docstring's exhaustive pigeonhole-recall-1
+    # contract — the benchmark corpora are tiny; production corpora with
+    # boilerplate-hot 16-bit chunks should use the default finite cap
+    return simhash_dup_pairs(sigs.select_columns(["file_id", "simhash"]),
+                             cap=None)
 
 
 def q_embedding_dup_pairs(sf_dir: str):
@@ -730,6 +737,28 @@ def q_embedding_dup_pairs(sf_dir: str):
 
     emb = _read(sf_dir, "embeddings")
     return cosine_dup_pairs(emb, threshold=0.45)
+
+
+def q_embedding_dup_pairs_lsh(sf_dir: str):
+    """Scale-arm embedding-cosine dedup at a PRODUCTION threshold (0.8):
+    L-table hyperplane-band candidates + exact cosine verify of
+    candidates only (ann.cosine_dup_pairs_lsh) — the 100-TB path, where
+    the exact S(S+1)/2 block-pair grid would be O(n²).  Approximate by
+    design (rows-only driver check); precision is 1.0 by construction
+    (exact verify) and recall vs the exact grid at the same threshold is
+    pinned by a planted-dup pytest.  The synthetic embeddings are
+    near-random (max background cosine ~0.51), so the high threshold is
+    exactly where this arm is meant to operate — an EMPTY result on this
+    testdata is the correct answer (no pair reaches 0.8); the pytest's
+    planted dups are where the arm's recall is actually measured."""
+    from hsearch_ray.stages.ann import cosine_dup_pairs_lsh
+
+    emb = _read(sf_dir, "embeddings")
+    df = cosine_dup_pairs_lsh(emb, threshold=0.8).to_pandas()
+    if df.empty:  # 0-row Dataset -> pandas loses the schema; pin it
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64")})
+    return df
 
 
 def q_ann_topk(sf_dir: str):
@@ -830,6 +859,10 @@ def q_top_orders_by_segment(sf_dir: str):
 
     def _partial(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
         ck, seg = ray.get(ref)
+        if ck.size == 0:  # empty dimension: no matches
+            return pd.DataFrame({"segment": pd.Series(dtype=object),
+                                 "o_orderkey": pd.Series(dtype="int64"),
+                                 "price_c": pd.Series(dtype="int64")})
         ok = df["o_custkey"].to_numpy(dtype=np.int64)
         pos = np.minimum(np.searchsorted(ck, ok), ck.size - 1)
         hit = ck[pos] == ok
@@ -1037,59 +1070,56 @@ def q_incremental_dedup_docs(sf_dir: str):
     continuously-ingesting pipeline runs on every new batch: flag each
     NEW doc that near-duplicates any doc already in the index.
 
-    Shape: both sides sign + band under the index config (at scale the
-    index side's signatures/bands are the standing checkpointed
-    artifact — lineage.write_checkpoint — so only the new batch pays
-    signing), ONE bucket-key sort over the union emits candidates, a
-    cross-side filter keeps index-vs-new pairs, and exact Jaccard
-    verification runs on those only.  Within-batch (new-new) dups are
-    the flagship's job, deliberately out of scope here.  Output: one
-    row per new doc with match count, best index match (min id among
-    max rounded jaccard) and the rounded best jaccard.
+    The index side's banded signature postings ARE the standing
+    checkpointed artifact (pipelines.incremental): the first run over a
+    given index corpus writes them via lineage.write_checkpoint; every
+    later run loads the parquet checkpoint and never re-signs the index
+    (pinned by a sign-call-counter pytest).  Only the new batch pays
+    normalize + sign per run.  ONE bucket-key sort over the union emits
+    candidates, a cross-side filter keeps index-vs-new pairs, and exact
+    Jaccard verification runs on those only.  Within-batch (new-new)
+    dups are the flagship's job, deliberately out of scope here.
+    Output: one row per new doc with match count, best index match (min
+    id among max rounded jaccard) and the rounded best jaccard.
     """
-    from hsearch_ray.stages.lsh import band_explode, candidate_pairs
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    from hsearch_ray.pipelines.incremental import (
+        incremental_dedup_pairs,
+        per_new_doc_summary,
+    )
     from hsearch_ray.stages.normalize import normalize
-    from hsearch_ray.stages.signatures import sign
-    from hsearch_ray.stages.verify import verify_pairs
 
     cfg = PipelineConfig()
-    norm = normalize(_docs_as_corpus(sf_dir)).materialize()
-    banded = band_explode(sign(norm, cfg), cfg)
-    cand, _, _ = candidate_pairs(banded, cfg)
-    cross = cand.filter(
-        expr=f"a < {_INCR_SPLIT} and b >= {_INCR_SPLIT}"
+    idx_norm = normalize(
+        _docs_as_corpus(sf_dir, f"doc_id < {_INCR_SPLIT}")
     ).materialize()
-    vdf = verify_pairs(cross, norm, cfg).to_pandas()
+    new_norm = normalize(
+        _docs_as_corpus(sf_dir, f"doc_id >= {_INCR_SPLIT}")
+    ).materialize()
 
-    if vdf.empty:
-        agg = pd.DataFrame(
-            columns=["doc_id", "n_matches", "best_match", "best_jaccard"]
-        )
-    else:
-        vdf["jaccard"] = vdf["jaccard"].round(6)
-        vdf = vdf.sort_values(["b", "jaccard", "a"],
-                              ascending=[True, False, True])
-        agg = vdf.groupby("b", as_index=False).agg(
-            n_matches=("a", "count"), best_jaccard=("jaccard", "max")
-        )
-        agg = agg.merge(
-            vdf.drop_duplicates("b")[["b", "a"]].rename(
-                columns={"a": "best_match"}
-            ),
-            on="b",
-        ).rename(columns={"b": "doc_id"})
+    # index identity: source file path + mtime + size (the TSV-cache
+    # discipline) — a regenerated documents table invalidates the
+    # checkpoint; identical inputs reuse it across driver runs
+    st = _os.stat(f"{sf_dir}/documents.parquet")
+    tag = f"{sf_dir}:documents:{st.st_mtime_ns}:{st.st_size}:split={_INCR_SPLIT}"
+    ckpt = _os.path.join(
+        _tf.gettempdir(), "hsearch_ray_incr",
+        _hl.sha1(tag.encode()).hexdigest()[:16],
+    )
 
+    verified, _ = incremental_dedup_pairs(
+        idx_norm, new_norm, _INCR_SPLIT, cfg,
+        checkpoint_dir=ckpt, index_tag=tag,
+    )
     new_ids = (
         _read(sf_dir, "documents", columns=["doc_id"])
         .filter(expr=f"doc_id >= {_INCR_SPLIT}")
         .to_pandas()
     )
-    out = new_ids.merge(agg, on="doc_id", how="left")
-    out["n_matches"] = out["n_matches"].fillna(0).astype("int64")
-    out["best_match"] = out["best_match"].fillna(-1).astype("int64")
-    out["best_jaccard"] = out["best_jaccard"].fillna(0.0).astype("float64")
-    out["is_dup"] = out["n_matches"] > 0
-    return out[["doc_id", "n_matches", "best_match", "best_jaccard", "is_dup"]]
+    return per_new_doc_summary(verified.to_pandas(), new_ids)
 
 
 # Composite-preprocess quality bar (chars) — drops ~30% of the docs
@@ -1109,23 +1139,40 @@ def q_preprocess_corpus_docs(sf_dir: str):
     structure legitimately differs from the whole-table clustering when
     a bridge doc falls below the bar)."""
     from hsearch_ray.pipelines.dedup import dedup_pipeline
+    from hsearch_ray.stages.lsh import _kv_lookup, build_kv_store
 
     res = dedup_pipeline(
         _docs_as_corpus(sf_dir, f"n_chars >= {_PREPROC_MIN_CHARS}"),
         PipelineConfig(),
     )
-    comp = res.clusters.to_pandas()
-    comp.columns = ["doc_id", "rep_id"]
+    # distributed disposition sink: the (file_id -> cluster_id) map is
+    # corpus-sized, so it ships as an id-range-sharded kv store (lazy
+    # per-batch shard fetch — the repo's verifier-store discipline), NOT
+    # a driver pandas merge / whole-map broadcast; the status logic is
+    # one vectorized pass per docs batch
+    store_ref = ray.put(build_kv_store(res.clusters, "file_id", "cluster_id"))
 
-    all_ids = _read(sf_dir, "documents",
-                    columns=["doc_id", "n_chars"]).to_pandas()
-    out = all_ids.merge(comp, on="doc_id", how="left")
-    short = out["n_chars"] < _PREPROC_MIN_CHARS
-    out["rep_id"] = out["rep_id"].fillna(-1).astype("int64")
-    out["status"] = np.where(
-        short, "short", np.where(out["rep_id"] != out["doc_id"], "dup", "kept")
+    def _disposition(batch: pa.Table) -> pa.Table:
+        look = _kv_lookup(store_ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        rep, ok = look.lookup(did)
+        short = nch < _PREPROC_MIN_CHARS
+        rep_id = np.where(short, -1, np.where(ok, rep, did))
+        status = np.where(
+            short, "short", np.where(rep_id != did, "dup", "kept")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "status": pa.array(status, pa.string()),
+                "rep_id": pa.array(rep_id, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "n_chars"]).map_batches(
+        _disposition, batch_format="pyarrow", batch_size=65536
     )
-    return out[["doc_id", "status", "rep_id"]]
 
 
 QUERIES = {
@@ -1152,6 +1199,7 @@ QUERIES = {
     "tsv_lang_count_docs": q_tsv_lang_count_docs,
     "simhash_dup_pairs_docs": q_simhash_dup_pairs_docs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,

@@ -277,8 +277,12 @@ def cosine_dup_pairs_lsh(emb_ds, threshold: float, id_col: str = "vec_id",
         for t in range(ntables):
             coder = _cached_coder(m.shape[1], nbits, seed + 7919 * t)
             code = coder.code(m)  # non-negative, < 2^nbits
+            # disjoint bit ranges per table BEFORE hashing (the simhash
+            # (band << 48) | chunk scheme): an additive offset would let
+            # adjacent tables alias to one gkey whenever c1 - c2 equals
+            # the offset delta, merging unrelated buckets past ``cap``
             keys.append(H.splitmix64(
-                code.astype(np.uint64) + np.uint64(0xA5A5 * (t + 1))
+                (np.uint64(t + 1) << np.uint64(48)) | code.astype(np.uint64)
             ).view(np.int64))
             fids.append(ids)
         return pa.table({"gkey": pa.array(np.concatenate(keys), pa.int64()),
@@ -362,19 +366,25 @@ def lsh_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
     qd = {int(i): np.asarray(v, dtype=np.float64) for i, v in query_vectors.items()}
     dim = len(next(iter(qd.values())))
     qids_sorted = sorted(qd)
-    # per-table {code -> [query rank]} probe maps, built once on the driver
-    probe_maps: list[dict[int, list[int]]] = []
+    # per-table SORTED (probe_code, query_rank) arrays, built once on the
+    # driver — the batch side probes them with two searchsorted calls per
+    # table instead of a Python loop over (bucket x query) dict entries,
+    # so candidate marking stays vectorized at any probe-set size
+    probe_maps: list[tuple[np.ndarray, np.ndarray]] = []
     for t in range(ntables):
         coder = _HyperplaneCoder(dim, nbits, seed + 7919 * t)
-        qc: dict[int, list[int]] = {}
+        pcodes, pranks = [], []
         for rank, qid in enumerate(qids_sorted):
             base = int(coder.code(qd[qid][None, :])[0])
             codes = [base]
             if multiprobe >= 1:
                 codes += [base ^ (1 << b) for b in range(nbits)]
-            for code in codes:
-                qc.setdefault(code, []).append(rank)
-        probe_maps.append(qc)
+            pcodes.extend(codes)
+            pranks.extend([rank] * len(codes))
+        pc = np.asarray(pcodes, dtype=np.int64)
+        pr = np.asarray(pranks, dtype=np.int64)
+        order = np.argsort(pc, kind="stable")
+        probe_maps.append((pc[order], pr[order]))
     ref = ray.put((qd, qids_sorted, probe_maps))
 
     def _bucket_score(batch: pa.Table) -> pa.Table:
@@ -389,12 +399,22 @@ def lsh_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
         cand = np.zeros((nq, n), dtype=bool)  # union over tables
         for t in range(ntables):
             codes = coders[t].code(emb)
-            for code, ranks in probe_maps_[t].items():
-                rows = codes == code
-                if not rows.any():
-                    continue
-                for r in ranks:
-                    cand[r] |= rows
+            pc, pr = probe_maps_[t]
+            lo = np.searchsorted(pc, codes, side="left")
+            hi = np.searchsorted(pc, codes, side="right")
+            span = hi - lo
+            rows = np.nonzero(span)[0]
+            if rows.size == 0:
+                continue
+            # concatenate the [lo, hi) entry ranges (ones+cumsum trick)
+            ln = span[rows]
+            idx = np.ones(int(ln.sum()), dtype=np.int64)
+            idx[0] = lo[rows[0]]
+            if rows.size > 1:
+                ends = np.cumsum(ln)[:-1]
+                idx[ends] = lo[rows[1:]] - (lo[rows[:-1]] + ln[:-1]) + 1
+            idx = np.cumsum(idx)
+            cand[pr[idx], np.repeat(rows, ln)] = True
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         embn = emb / norms
@@ -430,12 +450,16 @@ def _lsh_query_state(ref):
 # ------------------------------------------------------------------ IVF
 
 
-def kmeans_fit(emb_ds, nlist: int, iters: int = 5, seed: int = 42) -> np.ndarray:
+def kmeans_fit(emb_ds, nlist: int, iters: int = 5, seed: int = 42,
+               tol: float = 1e-6) -> np.ndarray:
     """Distributed Lloyd's k-means over the embedding column — the IVF
     coarse quantizer.  Per iteration: centroids broadcast once
     (ray.put), every batch computes one argmax-dot assignment + emits
     per-centroid (sum, count) PARTIALS (vectorized np.add.at), a tiny
-    driver combine updates the centroids.  No shuffle; driver traffic is
+    vectorized driver combine updates the centroids.  Iterations stop
+    early once the max centroid movement drops below ``tol`` (saves
+    whole dataset executions once assignments stabilize; deterministic
+    for a given input).  No shuffle; driver traffic is
     O(nlist·dim·blocks).  Deterministic: seeded init from the dataset's
     first rows, cosine (normalized) geometry throughout."""
     first = emb_ds.limit(max(nlist * 4, 256)).to_pandas()
@@ -465,16 +489,20 @@ def kmeans_fit(emb_ds, nlist: int, iters: int = 5, seed: int = 42) -> np.ndarray
 
         pdf = emb_ds.map_batches(_partial, batch_format="pyarrow",
                                  batch_size=8192).to_pandas()
+        cid = pdf["cid"].to_numpy(dtype=np.int64)
+        stacked = np.stack(pdf["vec_sum"].to_numpy()).astype(np.float64)
         sums = np.zeros_like(centroids)
+        np.add.at(sums, cid, stacked)
         cnt = np.zeros(centroids.shape[0], dtype=np.int64)
-        for cid, vs, n in zip(pdf["cid"], pdf["vec_sum"], pdf["n"]):
-            sums[int(cid)] += np.asarray(vs)
-            cnt[int(cid)] += int(n)
+        np.add.at(cnt, cid, pdf["n"].to_numpy(dtype=np.int64))
+        prev = centroids.copy()
         live = cnt > 0
         centroids[live] = sums[live] / cnt[live, None]
         centroids /= np.maximum(
             np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
         )
+        if float(np.abs(centroids - prev).max(initial=0.0)) < tol:
+            break
     return centroids
 
 

@@ -22,6 +22,8 @@ discipline of the main path.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -32,16 +34,27 @@ from hsearch_ray.stages.verify import Verifier, build_store
 
 def explode_fingerprints(sig_ds):
     """signatures(with fps) -> (gkey=fp, file_id) posting rows — the
-    keyed input of the shared sorted-run pair machinery (lsh.py)."""
+    keyed input of the shared sorted-run pair machinery (lsh.py).
+
+    Zero-copy over the Arrow list column: the flattened values and the
+    offsets buffer are viewed directly (lens = diff(offsets), values
+    restricted to [offsets[0], offsets[-1]) — slice-local, so a sliced
+    batch never re-reads its parent), no per-row Python lists."""
 
     def _explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("gkey", pa.int64()), ("file_id", pa.int64())]
+            ).empty_table()
         fids = batch["file_id"].to_numpy(zero_copy_only=False)
-        fps = batch["fps"].to_pylist()
-        lens = np.array([len(f) for f in fps], dtype=np.int64)
-        flat = np.concatenate([np.asarray(f, dtype=np.int64) for f in fps]) if len(fps) else np.empty(0, np.int64)
+        col = batch["fps"].combine_chunks()
+        offsets = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        values = col.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        flat = values[offsets[0]:offsets[-1]]
         return pa.table(
             {
-                "gkey": pa.array(flat, pa.int64()),
+                "gkey": pa.array(flat.astype(np.int64, copy=False), pa.int64()),
                 "file_id": pa.array(np.repeat(fids, lens), pa.int64()),
             }
         )
@@ -88,6 +101,14 @@ class _ContainmentVerifier(Verifier):
         )
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_containment_verifier(store_ref, cfg: PipelineConfig):
+    """Per-process verifier cache (the verify._cached_verifier / lsh.
+    _kv_lookup discipline): lazily-fetched store shards survive across
+    batches instead of re-fetching per batch."""
+    return _ContainmentVerifier(cfg, store_ref)
+
+
 def containment_pairs(sig_ds, corpus_ds, cfg: PipelineConfig):
     """signatures(with fps) + corpus -> verified containment pairs
     (a, b, containment, method).
@@ -119,7 +140,7 @@ def containment_pairs(sig_ds, corpus_ds, cfg: PipelineConfig):
     store_ref = build_store(corpus_ds, ids, cfg)
 
     def _verify_task(batch: pa.Table) -> pa.Table:
-        return _ContainmentVerifier(cfg, store_ref)(batch)
+        return _cached_containment_verifier(store_ref, cfg)(batch)
 
     return cand.map_batches(
         _verify_task,

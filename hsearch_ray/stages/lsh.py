@@ -248,23 +248,31 @@ def _emit_bucket_runs(batch: pa.Table, cap: int, window: int = 0) -> pa.Table:
       * interior runs of size > cap  -> hub-star edges (run-min as hub),
         O(n) instead of O(n^2) — the skew path; truncation is flagged —
         plus, with ``window`` > 0, a ring-window recovery pass per hot
-        run (simhash-sorted when the "ord" column is present)
+        run (simhash-sorted when the "ord" column is present).  The
+        hub ∪ ring union is deduped PER RUN so one key emits each pair
+        at most once (counted_pairs' ``n`` = distinct shared keys).
       * boundary runs (touching block edges; may continue next door)
-        -> spill postings (kind=1) for one tiny driver pass
+        -> spill postings (kind=1) for a worker-side regroup; when the
+        input carries "ord" it survives as the spill column "o", so
+        cross-block hot buckets get the same simhash-sorted ring
+        recovery as block-interior runs
       * per-block bucket-size histogram rows (kind=2: a=run_len, b=count)
 
     This is the reference's suffix-run processing
     (gen_kmers_from_suffix_array.cpp:51-65) fused with its LSH bucket
     loop (pcluster.cpp:157-170) into one sorted scan.
     """
-    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()), ("kind", pa.int8())])
+    has_ord = "ord" in batch.column_names
+    fields = [("a", pa.int64()), ("b", pa.int64()), ("kind", pa.int8())]
+    if has_ord:
+        fields.append(("o", pa.int64()))
+    schema = pa.schema(fields)
     n = batch.num_rows
     if n == 0:
         return schema.empty_table()
     k = batch["gkey"].to_numpy(zero_copy_only=False)
     f = batch["file_id"].to_numpy(zero_copy_only=False)
-    o = (batch["ord"].to_numpy(zero_copy_only=False)
-         if "ord" in batch.column_names else None)
+    o = batch["ord"].to_numpy(zero_copy_only=False) if has_ord else None
     boundary = (k == k[0]) | (k == k[-1])
     ki, fi = k[~boundary], f[~boundary]
     oi = o[~boundary] if o is not None else None
@@ -293,34 +301,49 @@ def _emit_bucket_runs(batch: pa.Table, cap: int, window: int = 0) -> pa.Table:
             kh, fh = ki[hot_mask], fi[hot_mask]
             oh = oi[hot_mask] if oi is not None else None
             hstarts = np.nonzero(np.concatenate(([True], kh[1:] != kh[:-1])))[0]
-            hmins = np.minimum.reduceat(fh, hstarts)
             hlens = np.diff(np.append(hstarts, kh.size))
-            hubs = np.repeat(hmins, hlens)
-            keep = fh != hubs
-            out_a.append(np.minimum(hubs[keep], fh[keep]))
-            out_b.append(np.maximum(hubs[keep], fh[keep]))
-            out_kind.append(np.zeros(int(keep.sum()), np.int8))
             if window > 0:
                 # loop over hot RUNS (rare by construction), vectorized
-                # inside each
+                # inside each; the hub ∪ ring union is deduped per run so
+                # one key never emits a pair twice (e.g. run-min vs its
+                # ring successor appears as both a star and a ring edge)
                 for s, l in zip(hstarts, hlens):
                     mem = fh[s:s + l]
                     okey = oh[s:s + l] if oh is not None else mem
+                    hub = mem.min()
+                    keep = mem != hub
+                    ha = np.minimum(hub, mem[keep])
+                    hb = np.maximum(hub, mem[keep])
                     ra, rb = _ring_window_pairs(mem, okey, window)
-                    out_a.append(ra)
-                    out_b.append(rb)
-                    out_kind.append(np.zeros(ra.size, np.int8))
+                    ua, ub, _ = _pair_void_unique(
+                        np.concatenate([ha, ra]), np.concatenate([hb, rb])
+                    )
+                    out_a.append(ua)
+                    out_b.append(ub)
+                    out_kind.append(np.zeros(ua.size, np.int8))
+            else:
+                hmins = np.minimum.reduceat(fh, hstarts)
+                hubs = np.repeat(hmins, hlens)
+                keep = fh != hubs
+                out_a.append(np.minimum(hubs[keep], fh[keep]))
+                out_b.append(np.maximum(hubs[keep], fh[keep]))
+                out_kind.append(np.zeros(int(keep.sum()), np.int8))
     sb, fb = k[boundary], f[boundary]
     out_a.append(sb)
     out_b.append(fb)
     out_kind.append(np.ones(sb.size, np.int8))
-    return pa.table(
-        {
-            "a": pa.array(np.concatenate(out_a).astype(I64), pa.int64()),
-            "b": pa.array(np.concatenate(out_b).astype(I64), pa.int64()),
-            "kind": pa.array(np.concatenate(out_kind), pa.int8()),
-        }
-    )
+    cols = {
+        "a": pa.array(np.concatenate(out_a).astype(I64), pa.int64()),
+        "b": pa.array(np.concatenate(out_b).astype(I64), pa.int64()),
+        "kind": pa.array(np.concatenate(out_kind), pa.int8()),
+    }
+    if has_ord:
+        # spill rows carry the ring order key; pair/histogram rows 0
+        kinds = np.concatenate(out_kind)
+        ov = np.zeros(kinds.size, dtype=I64)
+        ov[kinds == 1] = o[boundary]
+        cols["o"] = pa.array(ov, pa.int64())
+    return pa.table(cols)
 
 
 def _count_sorted_pair_block(batch: pa.Table) -> pa.Table:
@@ -429,14 +452,17 @@ def counted_pairs_from_keyed(keyed_ds, cap: int, window: int = 0):
 
 def _emit_spill_group(cap: int, window: int = 0):
     """Pair emission for ONE regrouped boundary bucket (rows: a=gkey,
-    b=file_id).  Same cold/hot policy as the block scan: all-pairs up to
-    ``cap`` members, hub-star above (a mega-bucket spanning many blocks
-    stays O(n) and never ships to the driver) plus the ring-window
-    recovery pass (file-id order — the "ord" key does not survive the
-    spill posting's narrow (gkey, file_id) schema)."""
+    b=file_id[, o=ring order key]).  Same cold/hot policy as the block
+    scan: all-pairs up to ``cap`` members, hub-star above (a mega-bucket
+    spanning many blocks stays O(n) and never ships to the driver) plus
+    the ring-window recovery pass — simhash-sorted when the postings
+    carried the "o" order key (same recovery quality as block-interior
+    runs), file-id order otherwise.  The hub ∪ ring union is deduped so
+    one key emits each pair at most once."""
 
     def emit(group: pa.Table) -> pa.Table:
-        fids = np.unique(group["b"].to_numpy(zero_copy_only=False))
+        b_arr = group["b"].to_numpy(zero_copy_only=False)
+        fids, first = np.unique(b_arr, return_index=True)
         n = fids.size
         if n < 2:
             return PAIR_SCHEMA.empty_table()
@@ -444,9 +470,14 @@ def _emit_spill_group(cap: int, window: int = 0):
             a = np.full(n - 1, fids[0])
             b = fids[1:]
             if window > 0:
-                ra, rb = _ring_window_pairs(fids, fids, window)
-                a = np.concatenate([a, ra])
-                b = np.concatenate([b, rb])
+                # a member's order key is identical on every posting of
+                # this bucket, so any occurrence (first) works
+                okey = (group["o"].to_numpy(zero_copy_only=False)[first]
+                        if "o" in group.column_names else fids)
+                ra, rb = _ring_window_pairs(fids, okey, window)
+                a, b, _ = _pair_void_unique(
+                    np.concatenate([a, ra]), np.concatenate([b, rb])
+                )
             return pa.table({"a": pa.array(a, pa.int64()),
                              "b": pa.array(b, pa.int64())})
         ii, jj = np.triu_indices(n, k=1)

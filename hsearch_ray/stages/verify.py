@@ -28,6 +28,8 @@ Data movement plan:
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -149,15 +151,19 @@ class Verifier:
         sh = self._simhashes.get(s)
         if sh is None:
             ids_s, starts, lens, vals = self._shard(s)
-            if ids_s.size == 0:
-                sh = np.empty(0, np.uint64)
+            nz = lens > 0
+            if ids_s.size == 0 or not nz.any():
+                sh = np.zeros(ids_s.size, np.uint64)
             else:
+                # reduceat treats an empty segment as a 1-element one (and
+                # errors when the LAST segment is empty), so hash only the
+                # docs with shingles and scatter; empty docs keep hash 0
                 gathered = vals[_concat_ranges(starts, lens)]
-                offsets = np.zeros(ids_s.size, dtype=np.int64)
-                np.cumsum(lens[:-1], out=offsets[1:])
-                # zero-length docs: batch_simhash needs monotone offsets,
-                # which cumsum provides; empty segments vote nothing
-                sh = H.batch_simhash(gathered, offsets)
+                lens_nz = lens[nz]
+                offsets = np.zeros(lens_nz.size, dtype=np.int64)
+                np.cumsum(lens_nz[:-1], out=offsets[1:])
+                sh = np.zeros(ids_s.size, dtype=np.uint64)
+                sh[np.nonzero(nz)[0]] = H.batch_simhash(gathered, offsets)
             self._simhashes[s] = sh
         return sh
 
@@ -246,6 +252,17 @@ class Verifier:
                 ),
             }
         )
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_verifier(store_ref, cfg: PipelineConfig) -> Verifier:
+    """Per-process Verifier cache keyed by (store ref, config) — the
+    same discipline as lsh._kv_lookup: stateless warm-worker tasks share
+    one Verifier per store, so its lazily-fetched shards and per-shard
+    simhash prefilter cache persist across batches (a fresh Verifier per
+    batch made the prefilter recompute whole-shard simhashes per batch).
+    PipelineConfig is a frozen dataclass, hence hashable."""
+    return Verifier(cfg, store_ref)
 
 
 # --------------------------------------------------------------- Bloom filter
@@ -499,10 +516,11 @@ def verify_pairs(pairs_ds, corpus_ds, cfg: PipelineConfig,
     store_ref = build_store(corpus_ds, ids, cfg)
 
     def _verify_task(batch: pa.Table) -> pa.Table:
-        # stateless task: ray.get of the numpy store is zero-copy from the
-        # local object store, so per-task "state load" is ~free and we
-        # reuse Ray's warm workers instead of spawning an actor pool
-        v = Verifier(cfg, store_ref)
+        # warm-worker task + per-process cached Verifier (the _kv_lookup
+        # discipline, lsh.py): lazily-fetched shards AND the prefilter's
+        # per-shard simhash cache survive across batches instead of being
+        # rebuilt per batch; ray.get stays zero-copy either way
+        v = _cached_verifier(store_ref, cfg)
         return v(batch)
 
     verified = pairs_ds.map_batches(

@@ -103,6 +103,8 @@ def test_preprocess_composite_exercises_every_branch(ray_session):
     from hsearch_ray.pipelines.queries import QUERIES
 
     df = QUERIES["preprocess_corpus_docs"](SF)
+    if not isinstance(df, pd.DataFrame):
+        df = df.to_pandas()
     counts = df["status"].value_counts()
     assert set(counts.index) == {"short", "dup", "kept"}
     assert (df.loc[df["status"] == "short", "rep_id"] == -1).all()

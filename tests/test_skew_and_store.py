@@ -178,3 +178,99 @@ def test_simhash_prefilter_flag(ray_session):
                                   use_simhash_prefilter=True,
                                   prefilter_hamming=32))
     assert loose.equals(off)  # generous bound: same verdicts
+
+def test_spill_path_carries_ring_order_key():
+    """VERDICT-r3 item 5: a hot bucket that spans blocks (spill path)
+    must recover the SAME ring-window pairs as a block-interior hot run
+    — the 'ord' key survives as the spill column 'o'.  Also pins the
+    hub ∪ ring per-key dedup (one key emits each pair at most once)."""
+    from hsearch_ray.stages.lsh import _emit_bucket_runs, _emit_spill_group
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    n, cap, window = 30, 8, 3
+    fids = rng.permutation(np.arange(500, 500 + n)).astype(np.int64)
+    ords = rng.integers(0, 1 << 40, size=n).astype(np.int64)
+
+    # interior layout: boundary keys 0/9 bracket the hot key 7
+    interior = pa.table({
+        "gkey": pa.array(np.r_[0, np.full(n, 7), 9], pa.int64()),
+        "file_id": pa.array(np.r_[1000, fids, 1001], pa.int64()),
+        "ord": pa.array(np.r_[0, ords, 0], pa.int64()),
+    })
+    out = _emit_bucket_runs(interior, cap=cap, window=window)
+    kind = out["kind"].to_numpy(zero_copy_only=False)
+    ia = out["a"].to_numpy(zero_copy_only=False)[kind == 0]
+    ib = out["b"].to_numpy(zero_copy_only=False)[kind == 0]
+    interior_pairs = list(zip(ia, ib))
+    assert len(interior_pairs) == len(set(interior_pairs))  # per-key dedup
+
+    # spill layout: the same bucket arrives as kind=1 postings (a=gkey,
+    # b=fid, o=ord) regrouped on a worker
+    single = pa.table({
+        "gkey": pa.array(np.full(n, 7), pa.int64()),
+        "file_id": pa.array(fids, pa.int64()),
+        "ord": pa.array(ords, pa.int64()),
+    })
+    spilled = _emit_bucket_runs(single, cap=cap, window=window)
+    assert (spilled["kind"].to_numpy(zero_copy_only=False) == 1).all()
+    assert "o" in spilled.column_names
+    regrouped = _emit_spill_group(cap, window)(spilled)
+    spill_pairs = list(zip(regrouped["a"].to_numpy(zero_copy_only=False),
+                           regrouped["b"].to_numpy(zero_copy_only=False)))
+    assert len(spill_pairs) == len(set(spill_pairs))
+    assert set(spill_pairs) == set(interior_pairs)
+
+
+def test_counted_n_not_inflated_by_ring_window(ray_session):
+    """With a single shared key, every pair's multiplicity n must be
+    exactly 1 even when hub-star and ring-window would emit the same
+    pair twice from that key (the over-admission ADVICE finding)."""
+    import ray.data
+
+    from hsearch_ray.stages.lsh import counted_pairs_from_keyed
+
+    n = 40
+    fids = np.arange(100, 100 + n, dtype=np.int64)
+    keyed = pa.table({"gkey": pa.array(np.full(n, 7), pa.int64()),
+                      "file_id": pa.array(fids, pa.int64())})
+    ds, _ = counted_pairs_from_keyed(
+        ray.data.from_arrow(keyed), cap=8, window=4
+    )
+    df = ds.to_pandas()
+    assert len(df) > n - 1  # star + ring recovery both present
+    assert (df["n"] == 1).all()
+
+
+def test_prefilter_handles_zero_shingle_docs(ray_session):
+    """A shard whose LAST doc has zero shingles must not crash the
+    simhash prefilter, and interior zero-shingle docs must not absorb a
+    neighbor's bit votes (the np.add.reduceat empty-segment trap)."""
+    import ray
+    import ray.data
+
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.verify import Verifier, build_store
+
+    base = " ".join(f"token{i}" for i in range(120))
+    variant = base.replace("token3 ", "token3x ")
+    # empty-content docs land in the store when min_content_len=0;
+    # one sorts between the pair, one last in the single shard
+    rows = [("r", "a.py", base), ("r", "b.py", variant),
+            ("r", "mid.py", ""), ("r", "zz.py", "")]
+    cfg = PipelineConfig(jaccard_threshold=0.5, min_content_len=0,
+                         use_simhash_prefilter=True, prefilter_hamming=32)
+    corpus = normalize(ray.data.from_arrow(_corpus(rows))).materialize()
+    ids = np.sort(corpus.to_pandas()["file_id"].to_numpy(dtype=np.int64))
+    pdf = corpus.to_pandas()
+    fid_a = int(pdf.loc[pdf["path"] == "a.py", "file_id"].iloc[0])
+    fid_b = int(pdf.loc[pdf["path"] == "b.py", "file_id"].iloc[0])
+    a, b = sorted((fid_a, fid_b))
+    pairs = pa.table({"a": pa.array([a], pa.int64()),
+                      "b": pa.array([b], pa.int64())})
+    v = Verifier(cfg, build_store(corpus, ids, cfg, num_shards=1))
+    out = v(pairs)  # crashed (or mis-voted) before the fix
+    assert out.num_rows == 1
+    sh = v._shard_simhash(0)
+    ids0, _, lens0, _ = v._shard(0)
+    assert (sh[lens0 == 0] == 0).all()  # empty docs vote nothing
+    assert (sh[lens0 > 0] != 0).all()
