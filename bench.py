@@ -39,6 +39,10 @@ _LOG_YAML = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 if os.path.exists(_LOG_YAML):
     os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", _LOG_YAML)
 HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "0") == "1"
+# GRAFT_BENCH_PREFILTER=1 turns on cfg.use_simhash_prefilter for the
+# headline pipeline (the cheap-then-exact verify lever): used to record
+# that the per-worker Verifier cache keeps the lever profitable.
+PREFILTER = os.environ.get("GRAFT_BENCH_PREFILTER", "0") == "1"
 # exact,near dup fractions per amplified copy (rest are distinct files)
 DUP_RATES = tuple(float(x) for x in os.environ.get("GRAFT_BENCH_DUPS", "0.15,0.15").split(","))
 
@@ -197,11 +201,13 @@ def run_bench() -> dict:
     corpus_dir = ensure_corpus_parquet(SF_DIR, AMPLIFY)
     corpus_ds = ray.data.read_parquet(corpus_dir)
     n_files = corpus_ds.count()
+    cfg = PipelineConfig(use_simhash_prefilter=True) if PREFILTER \
+        else PipelineConfig()
     warm = corpus_ds.limit(1024)
-    dedup_pipeline(warm, PipelineConfig()).clusters.count()
+    dedup_pipeline(warm, cfg).clusters.count()
 
     t0 = time.perf_counter()
-    res = dedup_pipeline(ray.data.read_parquet(corpus_dir), PipelineConfig())
+    res = dedup_pipeline(ray.data.read_parquet(corpus_dir), cfg)
     n_clusters = res.clusters.count()
     headline = time.perf_counter() - t0
     # order-insensitive fingerprint of the clustering (checked equal

@@ -70,6 +70,33 @@ def _concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
+def _segmented_simhash(vals: np.ndarray, lens: np.ndarray,
+                       chunk_shingles: int = 1 << 20) -> np.ndarray:
+    """Per-doc 64-bit SimHash over a packed segment layout (``lens[i]``
+    consecutive shingles per doc, concatenated in ``vals``).  Zero-length
+    docs hash to 0 (reduceat treats an empty segment as a 1-element one,
+    so only docs with shingles are hashed and scattered).  Computed in
+    bounded chunks: batch_simhash materializes a 64-byte-per-shingle
+    unpackbits matrix, so one whole-shard call would allocate hundreds
+    of MB."""
+    out = np.zeros(lens.size, np.uint64)
+    nz = np.nonzero(lens > 0)[0]
+    if nz.size == 0:
+        return out
+    lens_nz = lens[nz]
+    offs = np.zeros(lens_nz.size, dtype=np.int64)
+    np.cumsum(lens_nz[:-1], out=offs[1:])
+    total = int(lens_nz.sum())
+    i = 0
+    while i < nz.size:
+        start = int(offs[i])
+        j = max(int(np.searchsorted(offs, start + chunk_shingles)), i + 1)
+        end = int(offs[j]) if j < nz.size else total
+        out[nz[i:j]] = H.batch_simhash(vals[start:end], offs[i:j] - start)
+        i = j
+    return out
+
+
 def candidate_ids(pairs_ds) -> np.ndarray:
     """Distinct file ids referenced by the pair table (driver-side array)."""
 
@@ -127,7 +154,7 @@ class Verifier:
         found = np.zeros(x.size, dtype=bool)
         sizes = np.zeros(x.size, dtype=np.int64)
         for s in np.unique(shard_idx):
-            ids_s, _, lens_s, _ = self._shard(s)
+            ids_s, _, lens_s = self._shard(s)[:3]
             rows = np.nonzero(shard_idx == s)[0]
             if ids_s.size == 0:
                 continue
@@ -140,17 +167,24 @@ class Verifier:
         return shard_idx, pos, found, sizes
 
     def _slice(self, shard: int, pos: int) -> np.ndarray:
-        _, starts, lens, vals = self._shard(shard)
+        _, starts, lens, vals = self._shard(shard)[:4]
         s = starts[pos]
         return vals[s : s + lens[pos]]
 
     def _shard_simhash(self, s: int) -> np.ndarray:
-        """Per-file 64-bit SimHash of every document in shard ``s``,
-        computed ONCE per shard from the stored shingle sets (vectorized
-        batch kernel) and cached alongside the shard."""
+        """Per-file 64-bit SimHash of every document in shard ``s``.
+
+        Normally PRECOMPUTED at store-build time (shard element 5,
+        ``_build_shard`` with ``with_simhash``) — once per doc globally —
+        and just indexed here.  The lazy per-verifier compute below is
+        the fallback for stores built without the prefilter flag."""
         sh = self._simhashes.get(s)
         if sh is None:
-            ids_s, starts, lens, vals = self._shard(s)
+            t = self._shard(s)
+            if len(t) >= 5 and t[4] is not None:
+                self._simhashes[s] = t[4]
+                return t[4]
+            ids_s, starts, lens, vals = t[:4]
             nz = lens > 0
             if ids_s.size == 0 or not nz.any():
                 sh = np.zeros(ids_s.size, np.uint64)
@@ -200,8 +234,8 @@ class Verifier:
         shards = {int(s): self._shard(int(s))
                   for s in np.unique(np.concatenate([sa_l, sb_l]))}
         for i in range(rows.size):
-            _, stA, lnA, vsA = shards[int(sa_l[i])]
-            _, stB, lnB, vsB = shards[int(sb_l[i])]
+            _, stA, lnA, vsA = shards[int(sa_l[i])][:4]
+            _, stB, lnB, vsB = shards[int(sb_l[i])][:4]
             p = pa_l[i]
             a = vsA[stA[p]:stA[p] + lnA[p]]
             p = pb_l[i]
@@ -307,10 +341,19 @@ def bloom_contains(bitmap: np.ndarray, ids: np.ndarray) -> np.ndarray:
 
 
 @ray.remote
-def _build_shard(lo: int, hi: int, id_filter, k: int, canon: bool, *blocks):
+def _build_shard(lo: int, hi: int, id_filter, k: int, canon: bool,
+                 with_simhash: bool, *blocks):
     """Build one id-range shard of the shingle store DIRECTLY from the
     materialized corpus blocks: filter to this shard's candidate rows,
-    shingle their contents, pack (ids, starts, lens, values).
+    shingle their contents, pack (ids, starts, lens, values[, simhash]).
+
+    With ``with_simhash`` (cfg.use_simhash_prefilter), the per-doc
+    64-bit SimHash of the stored shingle set is computed HERE, once per
+    doc globally, and shipped as the 5th shard element — verify workers
+    index it instead of each recomputing whole-shard simhashes (a
+    per-worker lazy compute was measured to stall the 1.92M-file verify
+    stage for minutes: up to workers x shards redundant passes, each
+    allocating a 64-byte-per-shingle bit matrix).
 
     Each candidate file belongs to exactly one shard, so total shingle
     work equals one corpus pass — but no intermediate shingle Dataset
@@ -355,14 +398,16 @@ def _build_shard(lo: int, hi: int, id_filter, k: int, canon: bool, *blocks):
         )
     if not fid_parts:
         e = np.empty(0, dtype=np.int64)
-        return (e, e, e, np.empty(0, np.uint64))
+        return (e, e, e, np.empty(0, np.uint64),
+                np.empty(0, np.uint64) if with_simhash else None)
     fid = np.concatenate(fid_parts)
     lens = np.concatenate(len_parts)
     vals = np.concatenate(val_parts)
     starts = np.zeros(fid.size + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     order = np.argsort(fid, kind="stable")
-    return (fid[order], starts[:-1][order], lens[order], vals)
+    sh = _segmented_simhash(vals, lens)[order] if with_simhash else None
+    return (fid[order], starts[:-1][order], lens[order], vals, sh)
 
 
 def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig,
@@ -398,7 +443,8 @@ def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig,
     )
     shard_refs = [
         _build_shard.remote(int(bounds[s]), int(bounds[s + 1]), filt_ref,
-                            cfg.shingle_k, cfg.token_canonicalize, *block_refs)
+                            cfg.shingle_k, cfg.token_canonicalize,
+                            cfg.use_simhash_prefilter, *block_refs)
         for s in range(num_shards)
     ]
     return ray.put((bounds[1:-1], shard_refs))

@@ -271,6 +271,28 @@ def test_prefilter_handles_zero_shingle_docs(ray_session):
     out = v(pairs)  # crashed (or mis-voted) before the fix
     assert out.num_rows == 1
     sh = v._shard_simhash(0)
-    ids0, _, lens0, _ = v._shard(0)
+    ids0, _, lens0 = v._shard(0)[:3]
     assert (sh[lens0 == 0] == 0).all()  # empty docs vote nothing
     assert (sh[lens0 > 0] != 0).all()
+
+
+def test_verifier_cached_per_process(ray_session):
+    """_cached_verifier returns ONE Verifier per (store ref, config) in a
+    process, so lazily-fetched shards and the prefilter's per-shard
+    simhash cache survive across batches."""
+    import ray
+    import ray.data
+
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.verify import _cached_verifier, build_store
+
+    rows = [("r", f"c{i}.py", f"text {i} " * 30) for i in range(8)]
+    cfg = PipelineConfig()
+    corpus = normalize(ray.data.from_arrow(_corpus(rows))).materialize()
+    ids = np.sort(corpus.to_pandas()["file_id"].to_numpy(dtype=np.int64))
+    store_ref = build_store(corpus, ids, cfg, num_shards=2)
+
+    v1 = _cached_verifier(store_ref, cfg)
+    assert _cached_verifier(store_ref, cfg) is v1  # same store+cfg: one instance
+    other = PipelineConfig(jaccard_threshold=0.5)
+    assert _cached_verifier(store_ref, other) is not v1  # cfg is part of the key
