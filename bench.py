@@ -39,7 +39,7 @@ _LOG_YAML = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 if os.path.exists(_LOG_YAML):
     os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", _LOG_YAML)
 HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "0") == "1"
-# GRAFT_BENCH_PREFILTER=1 turns on cfg.use_simhash_prefilter for the
+# GRAFT_BENCH_PREFILTER=1 turns on cfg.use_sketch_prefilter for the
 # headline pipeline (the cheap-then-exact verify lever): used to record
 # that the per-worker Verifier cache keeps the lever profitable.
 PREFILTER = os.environ.get("GRAFT_BENCH_PREFILTER", "0") == "1"
@@ -201,7 +201,7 @@ def run_bench() -> dict:
     corpus_dir = ensure_corpus_parquet(SF_DIR, AMPLIFY)
     corpus_ds = ray.data.read_parquet(corpus_dir)
     n_files = corpus_ds.count()
-    cfg = PipelineConfig(use_simhash_prefilter=True) if PREFILTER \
+    cfg = PipelineConfig(use_sketch_prefilter=True) if PREFILTER \
         else PipelineConfig()
     warm = corpus_ds.limit(1024)
     dedup_pipeline(warm, cfg).clusters.count()

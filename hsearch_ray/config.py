@@ -30,12 +30,18 @@ class PipelineConfig:
     simhash_bits: int = 64
     simhash_hamming_max: int = 3   # chunk-blocking verify bound (simhash_dup_pairs)
     # Cheap precision lever (wired in Verifier.__call__, stages/verify.py):
-    # with ``use_simhash_prefilter`` on, candidate pairs whose stored-shingle
-    # SimHashes differ by more than ``prefilter_hamming`` bits skip exact
-    # Jaccard entirely — the reference's cheap-then-exact two-tier verify
-    # (pcluster.cpp:34 -> hash_search.cpp:593-599).  Lossy; off by default
-    # for recall.
-    use_simhash_prefilter: bool = False
+    # with ``use_sketch_prefilter`` on, candidate pairs whose 64-bit
+    # stored-shingle sketches (LSB of each of 64 OPH minhash bins — 1-bit
+    # b-bit minwise hashing, Li & König, WWW 2010) differ by more than
+    # ``prefilter_hamming`` bits skip exact Jaccard entirely — the
+    # reference's cheap-then-exact two-tier verify (pcluster.cpp:34 ->
+    # hash_search.cpp:593-599).  Two docs with Jaccard J agree per bit
+    # with prob (1+J)/2, so hamming ~ Binomial(64, (1-J)/2): at the
+    # default threshold 0.7 the mean is ~9.6 and 16 is ~+2.5σ.  Lossy;
+    # off by default for recall.  (A SimHash sketch was measured 180x
+    # more expensive to precompute — bit-unpack votes are 4.5 µs/shingle
+    # vs 25 ns for the OPH kernel the signer already uses.)
+    use_sketch_prefilter: bool = False
     prefilter_hamming: int = 16
     # --- verification (analog of exact distance <= R, kmer_search.cpp:107-111) ---
     jaccard_threshold: float = 0.7

@@ -90,7 +90,7 @@ def dedup_pipeline(
         f"edit={cfg.edit_verify}:{cfg.edit_band}:{cfg.edit_sim_threshold},"
         f"len={cfg.min_content_len}:{cfg.max_content_len},"
         f"skew={cfg.max_bucket_pairs_exhaustive}:{cfg.hot_bucket_window},"
-        f"prefilter={cfg.use_simhash_prefilter}:{cfg.prefilter_hamming}"
+        f"prefilter={cfg.use_sketch_prefilter}:{cfg.prefilter_hamming}"
     )
     tagged_dir = f"{checkpoint_dir}/tagged" if checkpoint_dir else None
     pairs_dir = f"{checkpoint_dir}/pairs" if checkpoint_dir else None

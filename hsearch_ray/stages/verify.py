@@ -70,15 +70,15 @@ def _concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
-def _segmented_simhash(vals: np.ndarray, lens: np.ndarray,
-                       chunk_shingles: int = 1 << 20) -> np.ndarray:
-    """Per-doc 64-bit SimHash over a packed segment layout (``lens[i]``
-    consecutive shingles per doc, concatenated in ``vals``).  Zero-length
-    docs hash to 0 (reduceat treats an empty segment as a 1-element one,
-    so only docs with shingles are hashed and scattered).  Computed in
-    bounded chunks: batch_simhash materializes a 64-byte-per-shingle
-    unpackbits matrix, so one whole-shard call would allocate hundreds
-    of MB."""
+def _segmented_sketch(vals: np.ndarray, lens: np.ndarray, seed: int,
+                      chunk_shingles: int = 8 << 20) -> np.ndarray:
+    """Per-doc 64-bit OPH minwise sketch (hashing.oph_sketch64) over a
+    packed segment layout (``lens[i]`` consecutive SORTED-unique shingles
+    per doc, concatenated in ``vals``).  Zero-length docs sketch to 0
+    (the OPH kernel requires non-empty docs, so only docs with shingles
+    are hashed and scattered).  Computed in bounded chunks: the OPH
+    kernel's temporaries are ~32 B/shingle, so one whole-shard call over
+    a multi-GB shard would double its memory."""
     out = np.zeros(lens.size, np.uint64)
     nz = np.nonzero(lens > 0)[0]
     if nz.size == 0:
@@ -92,7 +92,7 @@ def _segmented_simhash(vals: np.ndarray, lens: np.ndarray,
         start = int(offs[i])
         j = max(int(np.searchsorted(offs, start + chunk_shingles)), i + 1)
         end = int(offs[j]) if j < nz.size else total
-        out[nz[i:j]] = H.batch_simhash(vals[start:end], offs[i:j] - start)
+        out[nz[i:j]] = H.oph_sketch64(vals[start:end], offs[i:j] - start, seed)
         i = j
     return out
 
@@ -139,7 +139,7 @@ class Verifier:
         self.bounds = bounds
         self.shard_refs = shard_refs
         self._shards: dict[int, tuple] = {}  # lazily fetched, zero-copy
-        self._simhashes: dict[int, np.ndarray] = {}  # per-shard, on demand
+        self._sketches: dict[int, np.ndarray] = {}  # per-shard, on demand
 
     def _shard(self, s: int):
         t = self._shards.get(s)
@@ -171,42 +171,35 @@ class Verifier:
         s = starts[pos]
         return vals[s : s + lens[pos]]
 
-    def _shard_simhash(self, s: int) -> np.ndarray:
-        """Per-file 64-bit SimHash of every document in shard ``s``.
+    def _shard_sketch(self, s: int) -> np.ndarray:
+        """Per-file 64-bit OPH minwise sketch of every document in shard
+        ``s`` (hashing.oph_sketch64 over the stored shingle sets).
 
         Normally PRECOMPUTED at store-build time (shard element 5,
-        ``_build_shard`` with ``with_simhash``) — once per doc globally —
+        ``_build_shard`` with ``with_sketch``) — once per doc globally —
         and just indexed here.  The lazy per-verifier compute below is
         the fallback for stores built without the prefilter flag."""
-        sh = self._simhashes.get(s)
+        sh = self._sketches.get(s)
         if sh is None:
             t = self._shard(s)
             if len(t) >= 5 and t[4] is not None:
-                self._simhashes[s] = t[4]
+                self._sketches[s] = t[4]
                 return t[4]
             ids_s, starts, lens, vals = t[:4]
-            nz = lens > 0
-            if ids_s.size == 0 or not nz.any():
-                sh = np.zeros(ids_s.size, np.uint64)
-            else:
-                # reduceat treats an empty segment as a 1-element one (and
-                # errors when the LAST segment is empty), so hash only the
-                # docs with shingles and scatter; empty docs keep hash 0
-                gathered = vals[_concat_ranges(starts, lens)]
-                lens_nz = lens[nz]
-                offsets = np.zeros(lens_nz.size, dtype=np.int64)
-                np.cumsum(lens_nz[:-1], out=offsets[1:])
-                sh = np.zeros(ids_s.size, dtype=np.uint64)
-                sh[np.nonzero(nz)[0]] = H.batch_simhash(gathered, offsets)
-            self._simhashes[s] = sh
+            # segments live wherever the build pass placed them, so gather
+            # into packed layout first; zero-shingle docs keep sketch 0
+            # (the OPH kernel requires non-empty docs)
+            gathered = vals[_concat_ranges(starts, lens)]
+            sh = _segmented_sketch(gathered, lens, self.cfg.seed)
+            self._sketches[s] = sh
         return sh
 
-    def _gather_simhash(self, shard_idx: np.ndarray, pos: np.ndarray,
-                        rows: np.ndarray) -> np.ndarray:
+    def _gather_sketch(self, shard_idx: np.ndarray, pos: np.ndarray,
+                       rows: np.ndarray) -> np.ndarray:
         out = np.zeros(rows.size, dtype=np.uint64)
         sub = shard_idx[rows]
         for s in np.unique(sub):
-            sh = self._shard_simhash(int(s))
+            sh = self._shard_sketch(int(s))
             m = np.nonzero(sub == s)[0]
             if sh.size:
                 out[m] = sh[pos[rows[m]]]
@@ -257,14 +250,14 @@ class Verifier:
         # size-ratio bound: attainable Jaccard <= |small|/|big|
         keep = a_ok & b_ok & (lo > 0) & (lo >= thr_lo * hi)
         candidates = np.nonzero(keep)[0]
-        if candidates.size and self.cfg.use_simhash_prefilter:
+        if candidates.size and self.cfg.use_sketch_prefilter:
             # cheap precision lever (the reference's two-tier cheap-then-
             # exact verify, pcluster.cpp:34 -> hash_search.cpp:593-599):
-            # pairs whose stored-shingle SimHashes differ by more than
-            # prefilter_hamming bits skip exact Jaccard entirely.  Lossy
-            # by design; off by default for recall.
-            ha = self._gather_simhash(sa_idx, pa_pos, candidates)
-            hb = self._gather_simhash(sb_idx, pb_pos, candidates)
+            # pairs whose 64-bit b-bit-minhash sketches differ by more
+            # than prefilter_hamming bits skip exact Jaccard entirely.
+            # Lossy by design; off by default for recall.
+            ha = self._gather_sketch(sa_idx, pa_pos, candidates)
+            hb = self._gather_sketch(sb_idx, pb_pos, candidates)
             near = H.hamming64(ha, hb) <= self.cfg.prefilter_hamming
             candidates = candidates[near]
         if candidates.size == 0:
@@ -293,8 +286,8 @@ def _cached_verifier(store_ref, cfg: PipelineConfig) -> Verifier:
     """Per-process Verifier cache keyed by (store ref, config) — the
     same discipline as lsh._kv_lookup: stateless warm-worker tasks share
     one Verifier per store, so its lazily-fetched shards and per-shard
-    simhash prefilter cache persist across batches (a fresh Verifier per
-    batch made the prefilter recompute whole-shard simhashes per batch).
+    sketch prefilter cache persist across batches (a fresh Verifier per
+    batch made the prefilter recompute whole-shard sketches per batch).
     PipelineConfig is a frozen dataclass, hence hashable."""
     return Verifier(cfg, store_ref)
 
@@ -342,18 +335,20 @@ def bloom_contains(bitmap: np.ndarray, ids: np.ndarray) -> np.ndarray:
 
 @ray.remote
 def _build_shard(lo: int, hi: int, id_filter, k: int, canon: bool,
-                 with_simhash: bool, *blocks):
+                 with_sketch: bool, seed: int, *blocks):
     """Build one id-range shard of the shingle store DIRECTLY from the
     materialized corpus blocks: filter to this shard's candidate rows,
-    shingle their contents, pack (ids, starts, lens, values[, simhash]).
+    shingle their contents, pack (ids, starts, lens, values[, sketch]).
 
-    With ``with_simhash`` (cfg.use_simhash_prefilter), the per-doc
-    64-bit SimHash of the stored shingle set is computed HERE, once per
-    doc globally, and shipped as the 5th shard element — verify workers
-    index it instead of each recomputing whole-shard simhashes (a
-    per-worker lazy compute was measured to stall the 1.92M-file verify
-    stage for minutes: up to workers x shards redundant passes, each
-    allocating a 64-byte-per-shingle bit matrix).
+    With ``with_sketch`` (cfg.use_sketch_prefilter), the per-doc 64-bit
+    OPH minwise sketch of the stored shingle set is computed HERE, once
+    per doc globally, and shipped as the 5th shard element — verify
+    workers index it instead of each recomputing whole-shard sketches
+    (a per-worker lazy compute was measured to stall the 1.92M-file
+    verify stage for minutes: up to workers x shards redundant passes).
+    The sketch is b-bit minwise hashing, NOT SimHash: SimHash bit votes
+    were measured 180x more expensive to build (4.5 µs vs 25 ns per
+    shingle) for the same prefilter power at these thresholds.
 
     Each candidate file belongs to exactly one shard, so total shingle
     work equals one corpus pass — but no intermediate shingle Dataset
@@ -399,14 +394,14 @@ def _build_shard(lo: int, hi: int, id_filter, k: int, canon: bool,
     if not fid_parts:
         e = np.empty(0, dtype=np.int64)
         return (e, e, e, np.empty(0, np.uint64),
-                np.empty(0, np.uint64) if with_simhash else None)
+                np.empty(0, np.uint64) if with_sketch else None)
     fid = np.concatenate(fid_parts)
     lens = np.concatenate(len_parts)
     vals = np.concatenate(val_parts)
     starts = np.zeros(fid.size + 1, dtype=np.int64)
     np.cumsum(lens, out=starts[1:])
     order = np.argsort(fid, kind="stable")
-    sh = _segmented_simhash(vals, lens)[order] if with_simhash else None
+    sh = _segmented_sketch(vals, lens, seed)[order] if with_sketch else None
     return (fid[order], starts[:-1][order], lens[order], vals, sh)
 
 
@@ -444,7 +439,7 @@ def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig,
     shard_refs = [
         _build_shard.remote(int(bounds[s]), int(bounds[s + 1]), filt_ref,
                             cfg.shingle_k, cfg.token_canonicalize,
-                            cfg.use_simhash_prefilter, *block_refs)
+                            cfg.use_sketch_prefilter, cfg.seed, *block_refs)
         for s in range(num_shards)
     ]
     return ray.put((bounds[1:-1], shard_refs))
@@ -564,7 +559,7 @@ def verify_pairs(pairs_ds, corpus_ds, cfg: PipelineConfig,
     def _verify_task(batch: pa.Table) -> pa.Table:
         # warm-worker task + per-process cached Verifier (the _kv_lookup
         # discipline, lsh.py): lazily-fetched shards AND the prefilter's
-        # per-shard simhash cache survive across batches instead of being
+        # per-shard sketch cache survive across batches instead of being
         # rebuilt per batch; ray.get stays zero-copy either way
         v = _cached_verifier(store_ref, cfg)
         return v(batch)

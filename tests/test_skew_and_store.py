@@ -146,10 +146,11 @@ def test_hot_bucket_window_recovers_pairs(ray_session):
     assert ring <= all_pairs  # recovery never invents cross-bucket pairs
 
 
-def test_simhash_prefilter_flag(ray_session):
-    """cfg.use_simhash_prefilter wiring: near-dup pairs whose simhashes
-    differ by more than prefilter_hamming bits skip exact verification
-    (precision lever, lossy); a generous bound changes nothing."""
+def test_sketch_prefilter_flag(ray_session):
+    """cfg.use_sketch_prefilter wiring: near-dup pairs whose b-bit
+    minhash sketches differ by more than prefilter_hamming bits skip
+    exact verification (precision lever, lossy); a generous bound
+    changes nothing."""
     import ray
     import ray.data
 
@@ -157,7 +158,9 @@ def test_simhash_prefilter_flag(ray_session):
     from hsearch_ray.stages.verify import Verifier, build_store
 
     base = " ".join(f"token{i}" for i in range(120))
-    variant = base.replace("token3 ", "token3x ").replace("token77 ", "tok77 ")
+    variant = base
+    for i in (3, 17, 31, 44, 62, 77, 90, 104):  # J ~ 0.78: sketches differ
+        variant = variant.replace(f"token{i} ", f"tok{i}x ")
     rows = [("r", "a.py", base), ("r", "b.py", variant)]
     corpus = normalize(ray.data.from_arrow(_corpus(rows))).materialize()
     ids = np.sort(corpus.to_pandas()["file_id"].to_numpy(dtype=np.int64))
@@ -171,12 +174,12 @@ def test_simhash_prefilter_flag(ray_session):
     off = verify(PipelineConfig(jaccard_threshold=0.5))
     assert off.num_rows == 1  # the pair is a true near-dup
     strict = verify(PipelineConfig(jaccard_threshold=0.5,
-                                   use_simhash_prefilter=True,
+                                   use_sketch_prefilter=True,
                                    prefilter_hamming=0))
-    assert strict.num_rows == 0  # simhashes differ -> exact verify skipped
+    assert strict.num_rows == 0  # sketches differ -> exact verify skipped
     loose = verify(PipelineConfig(jaccard_threshold=0.5,
-                                  use_simhash_prefilter=True,
-                                  prefilter_hamming=32))
+                                  use_sketch_prefilter=True,
+                                  prefilter_hamming=63))
     assert loose.equals(off)  # generous bound: same verdicts
 
 def test_spill_path_carries_ring_order_key():
@@ -243,8 +246,11 @@ def test_counted_n_not_inflated_by_ring_window(ray_session):
 
 def test_prefilter_handles_zero_shingle_docs(ray_session):
     """A shard whose LAST doc has zero shingles must not crash the
-    simhash prefilter, and interior zero-shingle docs must not absorb a
-    neighbor's bit votes (the np.add.reduceat empty-segment trap)."""
+    sketch prefilter, and interior zero-shingle docs must not absorb a
+    neighbor's shingles (the empty-segment trap: the OPH kernel requires
+    non-empty docs, so empty ones are excluded and scattered back as 0).
+    Exercised BOTH ways: precomputed at store build (with_sketch) and
+    the lazy fallback for stores built without the flag."""
     import ray
     import ray.data
 
@@ -258,7 +264,7 @@ def test_prefilter_handles_zero_shingle_docs(ray_session):
     rows = [("r", "a.py", base), ("r", "b.py", variant),
             ("r", "mid.py", ""), ("r", "zz.py", "")]
     cfg = PipelineConfig(jaccard_threshold=0.5, min_content_len=0,
-                         use_simhash_prefilter=True, prefilter_hamming=32)
+                         use_sketch_prefilter=True, prefilter_hamming=32)
     corpus = normalize(ray.data.from_arrow(_corpus(rows))).materialize()
     ids = np.sort(corpus.to_pandas()["file_id"].to_numpy(dtype=np.int64))
     pdf = corpus.to_pandas()
@@ -270,10 +276,14 @@ def test_prefilter_handles_zero_shingle_docs(ray_session):
     v = Verifier(cfg, build_store(corpus, ids, cfg, num_shards=1))
     out = v(pairs)  # crashed (or mis-voted) before the fix
     assert out.num_rows == 1
-    sh = v._shard_simhash(0)
+    sh = v._shard_sketch(0)
     ids0, _, lens0 = v._shard(0)[:3]
-    assert (sh[lens0 == 0] == 0).all()  # empty docs vote nothing
+    assert (sh[lens0 == 0] == 0).all()  # empty docs sketch to 0
     assert (sh[lens0 > 0] != 0).all()
+    # lazy-fallback path (store built WITHOUT the flag) must agree
+    cfg_off = PipelineConfig(jaccard_threshold=0.5, min_content_len=0)
+    v2 = Verifier(cfg, build_store(corpus, ids, cfg_off, num_shards=1))
+    assert np.array_equal(v2._shard_sketch(0), sh)
 
 
 def test_verifier_cached_per_process(ray_session):
