@@ -1060,6 +1060,48 @@ def q_hash_sample_events(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+# Per-domain document cap: every source keeps at most this many docs.
+_CAP_PER_SOURCE = 5
+
+
+def q_cap_per_source_docs(sf_dir: str):
+    """Deterministic per-group cap — the "at most K docs per domain"
+    pretraining-mix operator (cap boilerplate-heavy domains without a
+    global shuffle): each source keeps the K docs with the smallest
+    multiplicative id-hash, a seedless uniform without-replacement
+    sample per group that is exactly reproducible across runs AND
+    engines (the hash_sample_events hash, expressible in the DuckDB
+    oracle as row_number() over the same key).
+
+    Distribution plan: per-block partial top-k per source (each block
+    emits <= K rows per source it sees — the grouped-top-k combiner,
+    q_top_orders_by_segment's pattern), then a tiny driver final over
+    <= K x sources x blocks rows.  No global sort, no shuffle; group
+    cardinality never bounds driver memory because only K rows per
+    (source, block) survive the map side."""
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy(dtype=np.int64)
+        h = ((did.astype(np.uint64) * np.uint64(_SAMPLE_MULT))
+             % np.uint64(1 << 32)).astype(np.int64)
+        out = pd.DataFrame({"source": df["source"].to_numpy(),
+                            "doc_id": did, "h": h})
+        out = out.sort_values(["h", "doc_id"])
+        return out.groupby("source", sort=False).head(_CAP_PER_SOURCE)
+
+    partials = _read(sf_dir, "documents", columns=["doc_id", "source"]) \
+        .map_batches(_partial, batch_format="pandas", batch_size=65536) \
+        .to_pandas()
+    fin = (
+        partials.sort_values(["h", "doc_id"])
+        .groupby("source", sort=False)
+        .head(_CAP_PER_SOURCE)
+        .sort_values(["source", "h", "doc_id"])
+        .reset_index(drop=True)
+    )
+    fin["rnk"] = (fin.groupby("source").cumcount() + 1).astype("int64")
+    return fin[["source", "doc_id", "rnk"]]
+
+
 # Snapshot split for incremental dedup: docs below are the standing
 # index, docs at/above are the "new snapshot" probed against it.
 _INCR_SPLIT = 300
@@ -1218,6 +1260,7 @@ QUERIES = {
     "inactive_customers": q_inactive_customers,
     "hourly_events": q_hourly_events,
     "hash_sample_events": q_hash_sample_events,
+    "cap_per_source_docs": q_cap_per_source_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "preprocess_corpus_docs": q_preprocess_corpus_docs,
 }
@@ -1622,6 +1665,17 @@ ORACLE_SQL = {
         FROM events
         WHERE (CAST(event_id AS HUGEINT) * {_SAMPLE_MULT}) % 4294967296
               < {_SAMPLE_THRESHOLD}
+    """,
+    "cap_per_source_docs": f"""
+        SELECT source, doc_id, rnk FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY (CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT})
+                            % 4294967296, doc_id
+                 ) AS rnk
+          FROM documents
+        ) WHERE rnk <= {_CAP_PER_SOURCE}
     """,
     "incremental_dedup_docs": f"""
         WITH docs AS (

