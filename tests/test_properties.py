@@ -128,3 +128,31 @@ def test_batch_oph_equals_per_doc(doc_vals, nbins):
     got = H.batch_minhash_oph(allsh, offsets, nbins, 42)
     for i, d in enumerate(docs):
         assert np.array_equal(got[i], H.minhash_oph(d, nbins, 42))
+
+
+@given(st.lists(st.lists(uint63, min_size=0, max_size=80), min_size=1, max_size=16))
+@settings(max_examples=30, deadline=None)
+def test_segmented_sketch_equals_per_doc_oph_lsb(doc_vals):
+    """The prefilter sketch (_segmented_sketch over the packed store
+    layout, incl. zero-shingle docs) must equal the per-doc OPH kernel's
+    LSBs packed into one uint64 — the b-bit-minhash contract, at any
+    chunk boundary."""
+    from hsearch_ray import hashing as H
+    from hsearch_ray.stages.verify import _segmented_sketch
+
+    docs = [np.unique(np.array(v, dtype=np.uint64)) for v in doc_vals]
+    vals = (np.concatenate([d for d in docs if d.size])
+            if any(d.size for d in docs) else np.empty(0, np.uint64))
+    lens = np.array([d.size for d in docs], dtype=np.int64)
+    # tiny chunk size forces multi-chunk paths on small inputs too
+    got = _segmented_sketch(vals, lens, seed=42, chunk_shingles=7)
+    for i, d in enumerate(docs):
+        if d.size == 0:
+            assert got[i] == 0
+            continue
+        bits = H.minhash_oph(d, 64, 42) & np.uint64(1)
+        want = np.uint64(0)
+        for j in range(64):
+            if bits[j]:
+                want |= np.uint64(1) << np.uint64(j)
+        assert got[i] == want
