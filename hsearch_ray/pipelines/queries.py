@@ -538,6 +538,168 @@ def exact_median_distributed(ds, value_col: str = "value",
     )
 
 
+def exact_order_stat_by_group(ds, group_col: str, value_col: str,
+                              kfn=None, max_fetch: int = 500_000,
+                              nbins: int = 4096,
+                              max_rounds: int = 8) -> pd.DataFrame:
+    """Per-GROUP exact order statistic (A6 grouped — median/p90 per
+    key) with ONE shared histogram pass per round for ALL groups: every
+    batch bins its values with per-group (lo, width) arrays indexed by
+    a vectorized group-id lookup, so round cost is independent of group
+    count.  Assumption (documented contract): the NUMBER of groups is
+    driver-sized — per-group scalars (lo/hi/k/below) live on the
+    driver; the per-group value multisets are unbounded and stay in the
+    cluster until each group's mid range shrinks under ``max_fetch``.
+    Bin membership is decided by re-applying each round's exact
+    (lo, width, b1, b2) formula — the scalar machinery's float-boundary
+    discipline — never by a drifting lo<=v<=hi compare."""
+    named = ds.map_batches(
+        lambda df, g=group_col, v=value_col: pd.DataFrame(
+            {"g_": df[g], "v_": df[v].astype(np.float64)}
+        ),
+        batch_format="pandas", batch_size=65536,
+    ).materialize()
+
+    def _mmc(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("g_", as_index=False, sort=False).agg(
+            lo=("v_", "min"), hi=("v_", "max"), n=("v_", "size")
+        )
+
+    stats = named.map_batches(_mmc, batch_format="pandas",
+                              batch_size=65536).to_pandas()
+    if stats.empty:
+        return pd.DataFrame({group_col: pd.Series(dtype=object),
+                             "stat_value": pd.Series(dtype=np.float64)})
+    stats = stats.groupby("g_", as_index=False).agg(
+        lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum")
+    ).sort_values("g_").reset_index(drop=True)
+    gkeys = stats["g_"].to_numpy()
+    gindex = pd.Index(gkeys)
+    G = len(gkeys)
+    lo = stats["lo"].to_numpy(dtype=np.float64).copy()
+    hi = stats["hi"].to_numpy(dtype=np.float64).copy()
+    n = stats["n"].to_numpy(dtype=np.int64)
+    ks = np.array([kfn(int(m)) if kfn is not None
+                   else ((int(m) - 1) // 2, int(m) // 2) for m in n],
+                  dtype=np.int64)
+    k1, k2 = ks[:, 0].copy(), ks[:, 1].copy()
+    below = np.zeros(G, dtype=np.int64)
+    result = np.full(G, np.nan)
+    resolved = np.zeros(G, dtype=bool)   # result known, no fetch needed
+    fetchable = np.zeros(G, dtype=bool)  # mid range small: go to fetch
+    # per-round filter arrays: (plo, pwidth, pb1, pb2, participated)
+    filters: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                        np.ndarray]] = []
+
+    def _apply_filters(gid: np.ndarray, v: np.ndarray) -> np.ndarray:
+        m = np.ones(v.size, dtype=bool)
+        for plo, pw, pb1, pb2, part in filters:
+            rel = part[gid] & m
+            if not rel.any():
+                continue
+            gi = gid[rel]
+            b = np.minimum(((v[rel] - plo[gi]) / pw[gi]).astype(np.int64),
+                           nbins - 1)
+            ok = (b >= pb1[gi]) & (b <= pb2[gi])
+            mm = m[rel]
+            mm &= ok
+            m[rel] = mm
+        return m
+
+    for _ in range(max_rounds):
+        just = ~resolved & ~fetchable & (lo == hi)
+        result[just] = np.round(lo[just], 6)
+        resolved |= just
+        active = ~resolved & ~fetchable
+        width = np.where(active, (hi - lo) / nbins, np.nan)
+        bad = active & (~np.isfinite(width) | (width <= 0))
+        fetchable |= bad
+        active &= ~bad
+        if not active.any():
+            break
+        ref = ray.put((lo.copy(), width.copy(), active.copy(), gkeys))
+
+        def _hist(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+            lo_, w_, act_, gk_ = ray.get(ref)
+            gid = pd.Index(gk_).get_indexer(df["g_"].to_numpy())
+            v = df["v_"].to_numpy(dtype=np.float64)
+            keep = (gid >= 0) & act_[gid]
+            gid, v = gid[keep], v[keep]
+            m = _apply_filters(gid, v)
+            gid, v = gid[m], v[m]
+            if v.size == 0:
+                return pd.DataFrame({"key": pd.Series(dtype=np.int64),
+                                     "cnt": pd.Series(dtype=np.int64)})
+            b = np.minimum(((v - lo_[gid]) / w_[gid]).astype(np.int64),
+                           nbins - 1)
+            key, cnt = np.unique(gid * np.int64(nbins) + b,
+                                 return_counts=True)
+            return pd.DataFrame({"key": key, "cnt": cnt})
+
+        hist = named.map_batches(_hist, batch_format="pandas",
+                                 batch_size=65536).to_pandas()
+        counts = np.zeros(G * nbins, dtype=np.int64)
+        if len(hist):
+            np.add.at(counts, hist["key"].to_numpy(dtype=np.int64),
+                      hist["cnt"].to_numpy(dtype=np.int64))
+        counts = counts.reshape(G, nbins)
+        part = active.copy()
+        pb1 = np.zeros(G, dtype=np.int64)
+        pb2 = np.full(G, nbins - 1, dtype=np.int64)
+        plo, pw = lo.copy(), np.where(np.isfinite(width), width, 1.0)
+        for g in np.flatnonzero(active):
+            cum = np.cumsum(counts[g])
+            b1 = int(np.searchsorted(cum, k1[g] + 1 - below[g]))
+            b2 = int(np.searchsorted(cum, k2[g] + 1 - below[g]))
+            in_mid = int(cum[b2] - (cum[b1 - 1] if b1 > 0 else 0))
+            pb1[g], pb2[g] = b1, b2
+            below[g] += int(cum[b1 - 1]) if b1 > 0 else 0
+            lo[g] = plo[g] + b1 * width[g]
+            if b2 != nbins - 1:
+                hi[g] = plo[g] + (b2 + 1) * width[g]
+            if in_mid <= max_fetch:
+                fetchable[g] = True
+        filters.append((plo, pw, pb1, pb2, part))
+
+    fetchable |= ~resolved  # rounds exhausted: fetch whatever remains
+    fetchable &= ~resolved
+    if fetchable.any():
+        ref = ray.put((fetchable.copy(), gkeys))
+
+        def _keep(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+            fet_, gk_ = ray.get(ref)
+            gid = pd.Index(gk_).get_indexer(df["g_"].to_numpy())
+            v = df["v_"].to_numpy(dtype=np.float64)
+            keep = (gid >= 0) & fet_[gid]
+            gid, v = gid[keep], v[keep]
+            m = _apply_filters(gid, v)
+            return pd.DataFrame({"gid": gid[m], "v": v[m]})
+
+        mid = named.map_batches(_keep, batch_format="pandas",
+                                batch_size=65536).to_pandas()
+        order = np.lexsort((mid["v"].to_numpy(), mid["gid"].to_numpy()))
+        gid_s = mid["gid"].to_numpy()[order]
+        v_s = mid["v"].to_numpy()[order]
+        starts = np.searchsorted(gid_s, np.arange(G))
+        for g in np.flatnonzero(fetchable):
+            s = starts[g]
+            m1 = v_s[s + k1[g] - below[g]]
+            m2 = v_s[s + k2[g] - below[g]]
+            result[g] = round(float((m1 + m2) / 2.0), 6)
+            resolved[g] = True
+    return pd.DataFrame({group_col: gkeys, "stat_value": result})
+
+
+def q_median_value_by_type(sf_dir: str):
+    """Exact per-group median (grouped A6): one shared distributed
+    histogram recursion resolves ALL event types together — round cost
+    is one pass over the events table regardless of how many groups
+    exist, and nothing O(rows) ever reaches the driver."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = exact_order_stat_by_group(ds, "event_type", "value")
+    return out.rename(columns={"stat_value": "median_value"})
+
+
 def q_median_event_value(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["value"])
     return pd.DataFrame({"median_value": [exact_median_distributed(ds, "value")]})
@@ -1217,6 +1379,198 @@ def q_preprocess_corpus_docs(sf_dir: str):
     )
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """Revenue per nation (TPC-H Q5/Q10 shape) — the engine's BIG x BIG
+    equi-join on the FACT side: lineitem and orders are both
+    corpus-scale, so neither may broadcast.  Plan: (1) per-orderkey
+    revenue partials — int cents PER ROW (float discipline) summed by a
+    vectorized batch groupby, then the distributed grouped combine
+    (grouped_agg_ds: the per-orderkey result never lands on the
+    driver); (2) Dataset.join hash-shuffles that orderkey-keyed revenue
+    against orders' (orderkey -> custkey) projection — both sides
+    shuffle, the genuine large-large exchange; (3) per-custkey revenue
+    re-combines distributed; (4) only the LAST hop rides the broadcast
+    probe (customer -> nation is the classic 10:1-and-then-25-row
+    dimension chain), and the 25-row nation rollup is a driver combine
+    by construction."""
+    from hsearch_ray.stages.agg import grouped_agg_ds
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64),
+                "rev_c": _cents(
+                    df["l_extendedprice"].to_numpy()
+                    * (1.0 - df["l_discount"].to_numpy())
+                ),
+            }
+        )
+
+    per_order = grouped_agg_ds(
+        li.map_batches(_rev_rows, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"], {"rev_c": ["sum"]},
+    )
+    okeys = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = per_order.join(
+        okeys, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    per_cust = grouped_agg_ds(
+        joined.map_batches(
+            lambda df: pd.DataFrame(
+                {"o_custkey": df["o_custkey"].to_numpy(dtype=np.int64),
+                 "rev_c": df["rev_c__sum"].to_numpy(dtype=np.int64)}
+            ),
+            batch_format="pandas", batch_size=65536,
+        ),
+        ["o_custkey"], {"rev_c": ["sum"]}, count_alias="n_orders",
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(ck, kind="stable")
+    ck = ck[order]
+    cn = cust["c_nationkey"].to_numpy(dtype=np.int64)[order]
+    nsorted = nat.sort_values("n_nationkey")
+    nkeys = nsorted["n_nationkey"].to_numpy(dtype=np.int64)
+    nname = nsorted["n_name"].to_numpy()
+    ref = ray.put((ck, cn, nkeys, nname))
+
+    def _attach(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        ck, cn, nkeys, nname = ray.get(ref)
+        if ck.size == 0 or nkeys.size == 0 or df.empty:
+            return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                                 "rev_c": pd.Series(dtype="int64"),
+                                 "n_orders": pd.Series(dtype="int64")})
+        custk = df["o_custkey"].to_numpy(dtype=np.int64)
+        pos = np.minimum(np.searchsorted(ck, custk), ck.size - 1)
+        hit = ck[pos] == custk
+        nk = cn[pos[hit]]
+        npos = np.minimum(np.searchsorted(nkeys, nk), nkeys.size - 1)
+        nhit = nkeys[npos] == nk
+        return pd.DataFrame(
+            {
+                "n_name": nname[npos[nhit]],
+                "rev_c": df["rev_c__sum"].to_numpy(dtype=np.int64)[hit][nhit],
+                "n_orders": df["n_orders"].to_numpy(dtype=np.int64)[hit][nhit],
+            }
+        )
+
+    attached = per_cust.map_batches(_attach, batch_format="pandas",
+                                    batch_size=65536)
+    out = grouped_agg(attached, ["n_name"],
+                      {"rev_c": ["sum"], "n_orders": ["sum"]})
+    return pd.DataFrame(
+        {
+            "n_name": out["n_name"],
+            "revenue_cents": out["rev_c__sum"].astype("int64"),
+            "n_orders": out["n_orders__sum"].astype("int64"),
+        }
+    )
+
+
+def q_customer_order_distribution(sf_dir: str):
+    """Orders-per-customer distribution (TPC-H Q13 shape) — the
+    LEFT-join-then-double-aggregate pattern without ever materializing
+    the join: (1) per-custkey order counts via the distributed grouped
+    combine (customer-cardinality result stays a Dataset); (2) the
+    histogram of those counts is a second grouped aggregate whose
+    result is tiny by construction (distinct order counts); (3) the
+    LEFT-join zero bucket needs no row-level join at all — it is
+    |customer| minus |custkeys with orders|, two distributed counts.
+    At 100 TB this runs two shuffles over combiner-reduced partials;
+    the naive plan shuffles the full customer x orders join."""
+    from hsearch_ray.stages.agg import grouped_agg_ds
+
+    per_cust = grouped_agg_ds(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        ["o_custkey"], {}, count_alias="c_count",
+    ).materialize()
+    hist = grouped_agg(
+        per_cust.map_batches(
+            lambda df: pd.DataFrame(
+                {"c_count": df["c_count"].to_numpy(dtype=np.int64)}
+            ),
+            batch_format="pandas", batch_size=65536,
+        ),
+        ["c_count"], {}, count_alias="custdist",
+    )
+    n_total = _read(sf_dir, "customer", columns=["c_custkey"]).count()
+    n_zero = n_total - int(per_cust.count())
+    out = pd.DataFrame(
+        {"c_count": hist["c_count"].astype("int64"),
+         "custdist": hist["custdist"].astype("int64")}
+    )
+    if n_zero > 0:
+        out = pd.concat(
+            [out, pd.DataFrame({"c_count": [0], "custdist": [n_zero]})],
+            ignore_index=True,
+        )
+    return out
+
+
+_REP_K = 8          # repetition n-gram width (chars)
+_REP_NUM = 1        # flag when n_dup_grams * 10 > n_grams * _REP_NUM
+_REP_DEN = 10       # i.e. duplicate-gram fraction > 0.10
+
+
+def q_repetition_docs(sf_dir: str):
+    """Per-doc repetition stats (the Gopher-rules duplicate-n-gram
+    signal, Rae et al. 2021 §A1.1): for each doc the total and
+    DUPLICATE char-8-gram counts plus a boolean flag at a 10%
+    duplicate fraction — the filter a training-data pipeline applies
+    before dedup to drop boilerplate/template-heavy docs.
+
+    Kernel is the signing stage's batched discipline (signatures.py
+    batched_streams): ONE rolling-hash pass over each batch's
+    concatenated Arrow buffer gives every doc's positional gram-hash
+    stream; per-doc distinct counts come from one lexsort over
+    (doc, hash) across the whole batch — no per-row Python.  Distinct
+    hashed grams stand in for distinct grams by the same negligible-
+    collision argument as the shingle-CTE oracles.  The flag compares
+    in INTEGERS (dup * 10 > n) — no float threshold to drift."""
+    from hsearch_ray.stages.signatures import batched_streams
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        streams = batched_streams(batch["text"], _REP_K)
+        lens = np.array([s.size for s in streams], dtype=np.int64)
+        if lens.sum() == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("n_grams", pa.int64()),
+                 ("n_dup_grams", pa.int64()), ("is_repetitive", pa.bool_())]
+            ).empty_table()
+        allsh = np.concatenate(streams)
+        seg = np.repeat(np.arange(len(streams), dtype=np.int64), lens)
+        order = np.lexsort((allsh, seg))
+        ss, hs = seg[order], allsh[order]
+        new = np.ones(ss.size, dtype=bool)
+        new[1:] = (ss[1:] != ss[:-1]) | (hs[1:] != hs[:-1])
+        distinct = np.bincount(ss[new], minlength=len(streams))
+        dup = lens - distinct
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "n_grams": pa.array(lens, pa.int64()),
+                "n_dup_grams": pa.array(dup, pa.int64()),
+                "is_repetitive": pa.array(
+                    dup * _REP_DEN > lens * _REP_NUM, pa.bool_()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+        .filter(expr=f"n_chars >= {_REP_K}")
+        .map_batches(_rep, batch_format="pyarrow", batch_size=2048)
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -1263,6 +1617,10 @@ QUERIES = {
     "cap_per_source_docs": q_cap_per_source_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "preprocess_corpus_docs": q_preprocess_corpus_docs,
+    "revenue_by_nation": q_revenue_by_nation,
+    "customer_order_distribution": q_customer_order_distribution,
+    "median_value_by_type": q_median_value_by_type,
+    "repetition_docs": q_repetition_docs,
 }
 
 
@@ -1766,6 +2124,52 @@ ORACLE_SQL = {
                     ELSE 'kept' END AS status,
                coalesce(c.rep_id, -1) AS rep_id
         FROM docs0 d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+    "revenue_by_nation": """
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                     + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT n_name,
+               CAST(sum(rev_c) AS BIGINT) AS revenue_cents,
+               count(*) AS n_orders
+        FROM per_order
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "customer_order_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "median_value_by_type": """
+        SELECT event_type, round(median(value), 6) AS median_value
+        FROM events GROUP BY event_type
+    """,
+    "repetition_docs": f"""
+        WITH g AS (
+          SELECT doc_id, substr(text, CAST(i AS INTEGER), {_REP_K}) AS gram
+          FROM documents,
+               LATERAL unnest(range(1, length(text) - {_REP_K - 2})) AS t(i)
+          WHERE length(text) >= {_REP_K}
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS n, count(DISTINCT gram) AS d
+          FROM g GROUP BY doc_id
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_grams,
+               CAST(n - d AS BIGINT) AS n_dup_grams,
+               ((n - d) * {_REP_DEN} > n * {_REP_NUM}) AS is_repetitive
+        FROM per
     """,
     # no oracle (rows-only, genuinely non-SQL-expressible): simhash_docs
     # (byte-level rolling-hash bit votes), lsh_bucket_histogram (depends

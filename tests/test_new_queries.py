@@ -22,6 +22,10 @@ NEW_QUERIES = [
     "incremental_dedup_docs",
     "preprocess_corpus_docs",
     "cap_per_source_docs",
+    "revenue_by_nation",
+    "customer_order_distribution",
+    "median_value_by_type",
+    "repetition_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -36,6 +40,10 @@ MIN_ROWS = {
     "incremental_dedup_docs": 200,
     "preprocess_corpus_docs": 500,
     "cap_per_source_docs": 10,
+    "revenue_by_nation": 20,
+    "customer_order_distribution": 5,
+    "median_value_by_type": 5,
+    "repetition_docs": 500,
 }
 
 
@@ -148,3 +156,52 @@ def test_p90_on_skewed_column(ray_session):
     )
     want = round(float(np.sort(v)[(9 * (v.size - 1)) // 10]), 6)
     assert got == want
+
+
+def test_grouped_order_stat_forced_recursion(ray_session):
+    """Grouped median must equal per-group numpy medians when the fetch
+    budget forces several histogram rounds, groups are skewed into
+    single bins, and group sizes differ by 100x (parity AND recursion
+    exercised together — the sf0.001 oracle run resolves in one round)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from hsearch_ray.pipelines.queries import exact_order_stat_by_group
+
+    rng = np.random.default_rng(11)
+    gs, vs = [], []
+    for g, size, scale in (("a", 30_000, 1e-6), ("b", 300, 1000.0),
+                           ("c", 9_000, 1.0), ("d", 1, 42.0)):
+        gs.append(np.full(size, g))
+        # group 'a': 90% of mass inside one tiny-width bin (skew)
+        vs.append(5.0 + rng.random(size) * scale)
+    g = np.concatenate(gs)
+    v = np.concatenate(vs)
+    perm = rng.permutation(g.size)
+    g, v = g[perm], v[perm]
+    ds = ray.data.from_arrow(
+        [pa.table({"event_type": gc, "value": vc})
+         for gc, vc in zip(np.array_split(g, 8), np.array_split(v, 8))]
+    )
+    out = exact_order_stat_by_group(
+        ds, "event_type", "value", max_fetch=500, nbins=16, max_rounds=12,
+    ).set_index("event_type")["stat_value"]
+    for key in ("a", "b", "c", "d"):
+        vals = np.sort(v[g == key])
+        n = vals.size
+        want = round(float((vals[(n - 1) // 2] + vals[n // 2]) / 2.0), 6)
+        assert out[key] == want, key
+
+
+def test_repetition_flag_discriminates(ray_session):
+    """The duplicate-8-gram filter must flag some — not all — docs
+    (vacuous all-true / all-false outputs would still hash-match a
+    matching oracle), and the counts must be internally consistent."""
+    from hsearch_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["repetition_docs"](SF).to_pandas()
+    n = int(df["is_repetitive"].sum())
+    assert 0 < n < len(df)
+    assert (df["n_dup_grams"] >= 0).all()
+    assert (df["n_dup_grams"] < df["n_grams"]).all()
