@@ -371,28 +371,36 @@ def q_supplier_part_stats(sf_dir: str):
     )
 
 
+def _explode_lines(batch: pa.Table) -> pa.Table:
+    """Vectorized 1->N line explosion: Arrow's split kernel gives the
+    list<string> column whose offsets drive doc_id repeat and per-doc
+    line numbering — no per-row Python (the explode_fingerprints
+    buffer discipline applied to strings)."""
+    import pyarrow.compute as pc
+
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lists = pc.split_pattern(batch["text"], pattern="\n")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(offsets)
+    total = int(offsets[-1] - offsets[0])
+    line_no = (np.arange(total, dtype=np.int64)
+               - np.repeat(offsets[:-1] - offsets[0], lens) + 1)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc, lens), pa.int64()),
+            "line_no": pa.array(line_no, pa.int64()),
+            "line": lists.flatten().cast(pa.string()),
+        }
+    )
+
+
 def q_explode_lines_docs(sf_dir: str):
     """1->N row explosion (M8 flat_map analog): one row per line of text."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def explode(batch: pa.Table) -> pa.Table:
-        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
-        out_d, out_n, out_l = [], [], []
-        for d, t in zip(doc, texts):
-            lines = t.split("\n")
-            out_d.extend([int(d)] * len(lines))
-            out_n.extend(range(1, len(lines) + 1))
-            out_l.extend(lines)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_d, pa.int64()),
-                "line_no": pa.array(out_n, pa.int64()),
-                "line": pa.array(out_l, pa.string()),
-            }
-        )
-
-    return ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+    return ds.map_batches(_explode_lines, batch_format="pyarrow",
+                          batch_size=2048)
 
 
 def q_user_first_event(sf_dir: str):
