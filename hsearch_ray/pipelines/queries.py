@@ -206,6 +206,24 @@ def q_quality_docs(sf_dir: str):
     return textstats.quality_stats(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
 
+def q_stopword_docs(sf_dir: str):
+    """Stopword-ratio quality signal (the third leg of the
+    length/punct/stopword quality triple): token-exact membership in a
+    fixed lowercase stopword list."""
+    return textstats.stopword_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
+def q_bpe_token_count_docs(sf_dir: str):
+    """Token budget under a GPT-2-style BPE pre-tokenizer regex —
+    whitespace counting underestimates BPE sequence length; this is the
+    estimate a training pipeline actually plans capacity with."""
+    return textstats.bpe_token_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_langid_docs(sf_dir: str):
     return textstats.langid(_read(sf_dir, "documents", columns=["doc_id", "text"]))
 
@@ -1579,6 +1597,85 @@ def q_repetition_docs(sf_dir: str):
     )
 
 
+def q_line_dedup_docs(sf_dir: str):
+    """Cross-document duplicate-LINE accounting (the C4 line-dedup rule,
+    Raffel et al. 2020 §2.2: drop any line occurring more than once in
+    the dataset): per doc, total lines and lines whose exact text
+    appears >= 2 times across the WHOLE corpus (multiplicity counted,
+    so two copies inside one doc are dups too) — the per-doc removal
+    ledger a cleaning pipeline writes before rewriting the corpus.
+
+    Scale plan — two streaming passes over the exploded lines, nothing
+    corpus-sized on the driver: (1) explode (the vectorized
+    _explode_lines kernel) -> 64-bit line hash (polars' vectorized utf8
+    hash; hash grouping stands in for text grouping under the
+    shingle-CTE negligible-collision argument) -> per-batch (hash, n)
+    partials -> distributed grouped sum (grouped_agg_ds: the line
+    vocabulary never lands on the driver); (2) the hashes with n >= 2
+    — the dup set, tiny relative to the vocabulary — ship as the
+    id-range-sharded kv store (lazy per-batch shard fetch, the
+    verifier-store discipline, NOT a whole-set broadcast) and a second
+    exploded pass marks lines + reduces to per-doc partials, combined
+    distributed by doc_id."""
+    import polars as pl
+    from hsearch_ray.stages.agg import grouped_agg_ds
+    from hsearch_ray.stages.lsh import _kv_lookup, build_kv_store
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _line_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        t = _explode_lines(batch)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = pl.from_arrow(t["line"]).hash(seed=42).to_numpy().view(np.int64)
+        return did, h
+
+    def _hash_partials(batch: pa.Table) -> pa.Table:
+        _, h = _line_hashes(batch)
+        uh, n = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uh, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    counts = grouped_agg_ds(
+        ds.map_batches(_hash_partials, batch_format="pyarrow",
+                       batch_size=2048),
+        ["h"], {"n": ["sum"]},
+    )
+    store_ref = ray.put(
+        build_kv_store(counts.filter(expr="n__sum >= 2"), "h", "n__sum")
+    )
+
+    def _doc_partials(batch: pa.Table) -> pa.Table:
+        did, h = _line_hashes(batch)
+        _, is_dup = _kv_lookup(store_ref).lookup(h)
+        uid, inv = np.unique(did, return_inverse=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uid, pa.int64()),
+                "n_lines": pa.array(np.bincount(inv), pa.int64()),
+                "n_dup_lines": pa.array(
+                    np.bincount(inv, weights=is_dup).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_doc = grouped_agg_ds(
+        ds.map_batches(_doc_partials, batch_format="pyarrow",
+                       batch_size=2048),
+        ["doc_id"], {"n_lines": ["sum"], "n_dup_lines": ["sum"]},
+    )
+    return per_doc.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                "n_lines": df["n_lines__sum"].to_numpy(dtype=np.int64),
+                "n_dup_lines": df["n_dup_lines__sum"].to_numpy(dtype=np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -1629,6 +1726,9 @@ QUERIES = {
     "customer_order_distribution": q_customer_order_distribution,
     "median_value_by_type": q_median_value_by_type,
     "repetition_docs": q_repetition_docs,
+    "line_dedup_docs": q_line_dedup_docs,
+    "stopword_docs": q_stopword_docs,
+    "bpe_token_count_docs": q_bpe_token_count_docs,
 }
 
 
@@ -1817,6 +1917,9 @@ FROM ej JOIN clusters cl ON cl.doc_id = ej.a
 GROUP BY cl.cluster_id
 """
 
+
+_STOPWORD_LIST_SQL = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+_BPE_RE_SQL = textstats.BPE_RE.replace("'", "''")
 
 ORACLE_SQL = {
     "session_stats": """
@@ -2178,6 +2281,43 @@ ORACLE_SQL = {
                CAST(n - d AS BIGINT) AS n_dup_grams,
                ((n - d) * {_REP_DEN} > n * {_REP_NUM}) AS is_repetitive
         FROM per
+    """,
+    "stopword_docs": f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(text, '\\s+')) AS tok
+          FROM documents
+        ),
+        per AS (
+          SELECT doc_id, count(*) AS n_tokens,
+                 CAST(sum(CASE WHEN lower(tok) IN ({_STOPWORD_LIST_SQL})
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+          FROM toks WHERE tok <> '' GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, n_stop,
+               round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio
+        FROM per
+    """,
+    "bpe_token_count_docs": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))
+                    AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "line_dedup_docs": """
+        WITH lines AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM documents
+        ),
+        c AS (
+          SELECT line, count(*) AS cnt FROM lines GROUP BY line
+        )
+        SELECT l.doc_id,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN c.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_lines
+        FROM lines l JOIN c USING (line)
+        GROUP BY l.doc_id
     """,
     # no oracle (rows-only, genuinely non-SQL-expressible): simhash_docs
     # (byte-level rolling-hash bit votes), lsh_bucket_histogram (depends

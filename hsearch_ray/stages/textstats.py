@@ -53,6 +53,59 @@ def quality_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# token-exact English stopword list (lowercased comparison); kept small
+# and fixed so the SQL oracle embeds the same literal set
+STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "was", "were", "be", "been", "it", "that", "this", "for", "on",
+    "with", "as", "at", "by", "from", "not", "but", "if", "then",
+    "they", "we",
+)
+
+# GPT-2-style byte-pair pre-tokenizer regex (contractions, letter runs,
+# digit runs, punctuation runs, whitespace runs) — RE2 and Python `re`
+# agree on it (leftmost-first alternation, no lookarounds)
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def stopword_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_tokens, n_stop, stop_ratio): whitespace tokens whose
+    lowercase form is in STOPWORDS, token-EXACT membership (not a
+    substring heuristic).  Docs with zero tokens emit no row — the same
+    shape the SQL unnest produces.  Ratio is one IEEE division of two
+    exactly-represented ints, rounded to 6."""
+    toks = df["text"].str.findall(r"\S+")
+    n_tokens = toks.str.len().astype("int64")
+    ex = toks.explode().dropna()
+    n_stop = (
+        ex.str.lower().isin(STOPWORDS).groupby(level=0).sum()
+        .reindex(n_tokens.index, fill_value=0).astype("int64")
+    )
+    keep = (n_tokens > 0).to_numpy()
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"].to_numpy()[keep],
+            "n_tokens": n_tokens.to_numpy()[keep],
+            "n_stop": n_stop.to_numpy()[keep],
+            "stop_ratio": (
+                n_stop.to_numpy()[keep] / n_tokens.to_numpy()[keep]
+            ).round(6),
+        }
+    )
+
+
+def bpe_token_count_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_bpe_tokens): count of BPE_RE pre-tokenizer matches —
+    the 'BPE-ish regex' token budget a training pipeline estimates
+    before real tokenization."""
+    return pd.DataFrame(
+        {
+            "doc_id": df["doc_id"],
+            "n_bpe_tokens": df["text"].str.count(BPE_RE).astype("int64"),
+        }
+    )
+
+
 def _marker_count(text: pd.Series, pattern: str) -> pd.Series:
     removed = text.str.replace(pattern, "", regex=False).str.len()
     return ((text.str.len() - removed) // len(pattern)).astype("int64")
@@ -89,3 +142,13 @@ def quality_stats(docs_ds):
 
 def langid(docs_ds):
     return docs_ds.map_batches(langid_batch, batch_format="pandas", batch_size=4096)
+
+
+def stopword_stats(docs_ds):
+    return docs_ds.map_batches(stopword_stats_batch, batch_format="pandas",
+                               batch_size=4096)
+
+
+def bpe_token_counts(docs_ds):
+    return docs_ds.map_batches(bpe_token_count_batch, batch_format="pandas",
+                               batch_size=4096)

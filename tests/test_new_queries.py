@@ -26,6 +26,9 @@ NEW_QUERIES = [
     "customer_order_distribution",
     "median_value_by_type",
     "repetition_docs",
+    "line_dedup_docs",
+    "stopword_docs",
+    "bpe_token_count_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -44,6 +47,9 @@ MIN_ROWS = {
     "customer_order_distribution": 5,
     "median_value_by_type": 5,
     "repetition_docs": 500,
+    "line_dedup_docs": 500,
+    "stopword_docs": 480,
+    "bpe_token_count_docs": 500,
 }
 
 
