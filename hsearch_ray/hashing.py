@@ -44,6 +44,19 @@ def splitmix64(x: np.ndarray | int) -> np.ndarray | np.uint64:
         return z ^ (z >> U64(31))
 
 
+def int_range_cuts(lo: int, hi_end: int, n: int) -> np.ndarray:
+    """n+1 cut points partitioning [lo, hi_end) into n near-equal
+    integer ranges, in EXACT Python-int arithmetic.  np.linspace works
+    in float64, whose ulp near 2^63 is 2^11: computed bounds can land
+    INSIDE the true key range, and range-masked shard builders then
+    silently drop keys between the true extreme and the rounded bound
+    (full-range hash keys hit this; sequential ids never did)."""
+    return np.unique(np.array(
+        [lo + (hi_end - lo) * s // n for s in range(n + 1)],
+        dtype=np.int64,
+    ))
+
+
 def perm_params(seed: int, num_perms: int) -> tuple[np.ndarray, np.ndarray]:
     """(a, b) multiply-shift permutation parameters, a odd, shape (num_perms,).
 

@@ -127,17 +127,18 @@ def brute_force_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5):
 
 
 @ray.remote
-def _build_vec_shard(lo: int, hi: int, id_col: str, *blocks):
+def _build_vec_shard(lo: int, hi: int | None, id_col: str, *blocks):
     """One id-range shard of the NORMALIZED embedding store, built
     directly from the dataset's Arrow blocks (same discipline as the
     shingle store, stages/verify.py:_build_shard): the driver never
-    touches vector bytes.  Returns (ids_sorted, unit_matrix)."""
+    touches vector bytes.  Returns (ids_sorted, unit_matrix).  hi=None
+    marks the LAST shard (unbounded above)."""
     id_parts, mat_parts = [], []
     for tbl in blocks:
         if tbl.num_rows == 0:
             continue
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
-        mask = (ids >= lo) & (ids < hi)
+        mask = (ids >= lo) if hi is None else (ids >= lo) & (ids < hi)
         if not mask.any():
             continue
         sub = tbl.filter(pa.array(mask))
@@ -181,10 +182,15 @@ def build_vec_store(emb_ds, id_col: str = "vec_id", num_shards: int | None = Non
     if mm.empty:
         return np.array([0, 1], dtype=np.int64), [], emb_ds
     lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
-    bounds = np.unique(np.linspace(lo, hi + 1, num_shards + 1).astype(np.int64))
+    bounds = H.int_range_cuts(
+        lo, min(hi, np.iinfo(np.int64).max - 1) + 1, num_shards
+    )
     block_refs = list(emb_ds.to_arrow_refs())
+    last = len(bounds) - 2
     shard_refs = [
-        _build_vec_shard.remote(int(bounds[s]), int(bounds[s + 1]), id_col, *block_refs)
+        _build_vec_shard.remote(int(bounds[s]),
+                                None if s == last else int(bounds[s + 1]),
+                                id_col, *block_refs)
         for s in range(len(bounds) - 1)
     ]
     return bounds, shard_refs, emb_ds

@@ -488,16 +488,18 @@ def _emit_spill_group(cap: int, window: int = 0):
 
 
 @ray.remote
-def _build_kv_shard(lo: int, hi: int, key_col: str, val_col: str, *blocks):
+def _build_kv_shard(lo: int, hi: int | None, key_col: str, val_col: str,
+                    *blocks):
     """One id-range shard of an int64 -> int64 map, built directly from
     Arrow block refs (the driver never materializes the table).  Returns
-    (keys_sorted, vals)."""
+    (keys_sorted, vals).  hi=None marks the LAST shard: unbounded above,
+    so a key of exactly int64-max is still storable."""
     kp, vp = [], []
     for tbl in blocks:
         if tbl.num_rows == 0:
             continue
         k = tbl[key_col].to_numpy(zero_copy_only=False)
-        m = (k >= lo) & (k < hi)
+        m = (k >= lo) if hi is None else (k >= lo) & (k < hi)
         if not m.any():
             continue
         kp.append(k[m].astype(np.int64))
@@ -533,13 +535,14 @@ def build_kv_store(ds, key_col: str, val_col: str,
     if mm.empty:
         return np.empty(0, np.int64), []
     lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
-    bounds = np.unique(
-        np.linspace(lo, min(hi, np.iinfo(np.int64).max - 1) + 1,
-                    num_shards + 1).astype(np.int64)
+    bounds = H.int_range_cuts(
+        lo, min(hi, np.iinfo(np.int64).max - 1) + 1, num_shards
     )
     block_refs = list(ds.to_arrow_refs())
+    last = len(bounds) - 2
     shard_refs = [
-        _build_kv_shard.remote(int(bounds[s]), int(bounds[s + 1]),
+        _build_kv_shard.remote(int(bounds[s]),
+                               None if s == last else int(bounds[s + 1]),
                                key_col, val_col, *block_refs)
         for s in range(len(bounds) - 1)
     ]

@@ -306,3 +306,34 @@ def test_verifier_cached_per_process(ray_session):
     assert _cached_verifier(store_ref, cfg) is v1  # same store+cfg: one instance
     other = PipelineConfig(jaccard_threshold=0.5)
     assert _cached_verifier(store_ref, other) is not v1  # cfg is part of the key
+
+
+def test_kv_store_extreme_int64_keys(ray_session):
+    """Full-range hash keys survive the kv store: shard cut points are
+    exact integers (np.linspace's float64 rounding near 2^63 shifted
+    bounds INSIDE the key range, silently dropping keys between the
+    true extreme and the rounded bound), and the last shard is
+    unbounded above so int64-max itself is storable."""
+    import ray
+    import ray.data
+
+    from hsearch_ray.stages.lsh import _ShardedKvLookup, build_kv_store
+
+    info = np.iinfo(np.int64)
+    keys = np.array(
+        [info.min, info.min + 1, -7499754882926326045, -1, 0, 1,
+         3870238688000063145, info.max - 1, info.max],
+        dtype=np.int64,
+    )
+    vals = np.arange(1, keys.size + 1, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    )
+    store = build_kv_store(ds, "k", "v", num_shards=4)
+    look = _ShardedKvLookup(ray.put(store))
+    out, ok = look.lookup(keys)
+    assert ok.all()
+    assert (out == vals).all()
+    miss, ok_miss = look.lookup(np.array([42], dtype=np.int64))
+    assert not ok_miss.any()

@@ -43,6 +43,76 @@ def test_quality_stats_division():
     assert out["avg_token_len"][0] == 2.0
 
 
+def test_stopword_stats_token_exact():
+    from hsearch_ray.stages.textstats import stopword_stats_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "The cat and the, dog",  # "the," is NOT a stopword token
+                "THE AND OF",            # case-insensitive membership
+                "   ",                   # whitespace-only: no row
+                "xyz",
+            ],
+        }
+    )
+    out = stopword_stats_batch(df).reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 2, 4]
+    assert list(out["n_tokens"]) == [5, 3, 1]
+    # doc 1: "The", "and" count; "the," does not (token-exact)
+    assert list(out["n_stop"]) == [2, 3, 0]
+    assert out["stop_ratio"][0] == round(2 / 5, 6)
+
+
+def test_bpe_token_count_segments():
+    from hsearch_ray.stages.textstats import bpe_token_count_batch
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            # "it's  x9!!" -> ["it", "'s", "  ", "x", "9", "!!"] = 6
+            "text": ["it's  x9!!", "", "don't stop"],
+        }
+    )
+    out = bpe_token_count_batch(df)
+    # doc 3: ["don", "'t", " stop"] = 3
+    assert list(out["n_bpe_tokens"]) == [6, 0, 3]
+
+
+def test_line_dedup_counts_multiplicity(ray_session, tmp_path):
+    """Cross-doc line dedup: duplicate lines count by corpus-wide
+    multiplicity (two copies INSIDE one doc are dups; empty lines
+    shared across docs are dups; a unique line is not)."""
+    import pyarrow.parquet as pq
+
+    from hsearch_ray.pipelines.queries import q_line_dedup_docs
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "same\nsame\nunique one",   # internal dup pair
+                    "shared\n\ntail a",          # empty line also in doc 3
+                    "shared\n\ntail b",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    out = (
+        q_line_dedup_docs(str(d)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["n_lines"]) == [3, 3, 3]
+    # doc 1: same+same dup, unique not; docs 2/3: shared + empty dup
+    assert list(out["n_dup_lines"]) == [2, 2, 2]
+
+
 def test_ann_brute_force_exact(ray_session):
     import ray.data
 
