@@ -34,11 +34,17 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _md5_batch(df: pd.DataFrame) -> pd.DataFrame:
-    import hashlib
+def _texthash_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized 64-bit whole-text hash (polars utf8 hash — the
+    line-dedup kernel's discipline): grouping by hash stands in for
+    grouping by text under the negligible-collision argument, so the
+    oracle groups by the text itself."""
+    import polars as pl
 
     df = df.copy()
-    df["h"] = [hashlib.md5(t.encode()).hexdigest() for t in df["text"]]
+    df["h"] = (
+        pl.from_pandas(df["text"]).hash(seed=42).to_numpy().view(np.int64)
+    )
     return df
 
 
@@ -54,7 +60,7 @@ def _cents(x: pd.Series | np.ndarray) -> np.ndarray:
 def q_exact_dedup_docs(sf_dir: str):
     """Exact dedup survivors (D1): keep min doc_id per distinct text."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    hashed = ds.map_batches(_md5_batch, batch_format="pandas", batch_size=4096)
+    hashed = ds.map_batches(_texthash_batch, batch_format="pandas", batch_size=4096)
     out = grouped_agg(hashed, ["h"], {"doc_id": ["min"]}, count_alias="n_copies")
     return pd.DataFrame(
         {"doc_id": out["doc_id__min"].astype("int64"),
@@ -74,7 +80,7 @@ def q_exact_dup_pairs_docs(sf_dir: str):
         ii, jj = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
 
-    hashed = ds.map_batches(_md5_batch, batch_format="pandas", batch_size=4096)
+    hashed = ds.map_batches(_texthash_batch, batch_format="pandas", batch_size=4096)
     stats = grouped_agg(hashed, ["h"], {"doc_id": ["min"]}, count_alias="n")
     dup_h = set(stats.loc[stats["n"] > 1, "h"])
     if not dup_h:
@@ -1962,7 +1968,7 @@ ORACLE_SQL = {
     "containment_pairs_docs": _CONTAINMENT_PAIRS_SQL,
     "exact_dedup_docs": """
         SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-        FROM documents GROUP BY md5(text)
+        FROM documents GROUP BY text
     """,
     "exact_dup_pairs_docs": """
         SELECT d1.doc_id AS a, d2.doc_id AS b

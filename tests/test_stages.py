@@ -113,6 +113,32 @@ def test_line_dedup_counts_multiplicity(ray_session, tmp_path):
     assert list(out["n_dup_lines"]) == [2, 2, 2]
 
 
+def test_exact_dedup_queries_on_planted_dups(ray_session, tmp_path):
+    """The testdata has no exact-dup texts (the driver check is vacuous
+    for the pair form): plant real dups and pin survivors + pairs."""
+    import pyarrow.parquet as pq
+
+    from hsearch_ray.pipelines.queries import (q_exact_dedup_docs,
+                                               q_exact_dup_pairs_docs)
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30, 40, 50], pa.int64()),
+            "text": pa.array(["dup", "dup", "solo", "dup", "other"],
+                             pa.string()),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    surv = q_exact_dedup_docs(str(d)).sort_values("doc_id")
+    assert list(surv["doc_id"]) == [10, 30, 50]
+    assert list(surv["n_copies"]) == [3, 1, 1]
+    pairs = q_exact_dup_pairs_docs(str(d)).sort_values(["a", "b"])
+    assert list(map(tuple, pairs.to_numpy())) == [(10, 20), (10, 40),
+                                                  (20, 40)]
+
+
 def test_ann_brute_force_exact(ray_session):
     import ray.data
 
