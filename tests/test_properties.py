@@ -156,3 +156,33 @@ def test_segmented_sketch_equals_per_doc_oph_lsb(doc_vals):
             if bits[j]:
                 want |= np.uint64(1) << np.uint64(j)
         assert got[i] == want
+
+
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+             min_size=1, max_size=50),
+    st.integers(min_value=1, max_value=16),
+)
+@settings(max_examples=200, deadline=None)
+def test_int_range_cuts_cover_all_keys(keys, n):
+    """Every key routes to exactly one shard and falls inside that
+    shard's [lo, hi) range (hi=None for the last): the float64-linspace
+    bug dropped keys between a true extreme and its rounded bound."""
+    import numpy as np
+
+    from hsearch_ray.hashing import int_range_cuts
+
+    k = np.array(keys, dtype=np.int64)
+    lo, hi = int(k.min()), int(k.max())
+    end = min(hi, np.iinfo(np.int64).max - 1) + 1
+    bounds = int_range_cuts(lo, end, n)
+    assert bounds[0] == lo
+    bl = [int(b) for b in bounds]  # np.diff would overflow at 2^63 spans
+    assert all(a < b for a, b in zip(bl, bl[1:]))
+    sh = (np.searchsorted(bounds[1:-1], k, side="right")
+          if bounds.size > 2 else np.zeros(k.size, np.int64))
+    last = bounds.size - 2
+    for key, s in zip(k, sh):
+        assert key >= bounds[s]
+        if s != last:
+            assert key < bounds[s + 1]

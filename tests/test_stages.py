@@ -113,6 +113,50 @@ def test_line_dedup_counts_multiplicity(ray_session, tmp_path):
     assert list(out["n_dup_lines"]) == [2, 2, 2]
 
 
+def test_line_dedup_non_ascii_matches_duckdb(ray_session, tmp_path):
+    """Arrow split_pattern + polars hash agree with DuckDB string_split
+    + group-by-text on multibyte UTF-8 and CRLF content (the sf fixture
+    corpora are all-ASCII, so pin the encoding edge here)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from hsearch_ray.pipelines.queries import ORACLE_SQL, q_line_dedup_docs
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "café \U0001f600\nzeile eins",
+                    "café \U0001f600\r\nzeile zwei",  # CRLF: "...\r" differs
+                    "zeile eins\nsolo",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    mine = (
+        q_line_dedup_docs(str(d)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    oracle = (
+        con.sql(ORACLE_SQL["line_dedup_docs"]).df()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert mine.astype("int64").equals(oracle.astype("int64"))
+    # the CRLF doc's first line ends in \r -> NOT a dup of doc 1's;
+    # only "zeile eins" (docs 1 and 3) is duplicated
+    assert list(mine["n_dup_lines"]) == [1, 0, 1]
+
+
 def test_exact_dedup_queries_on_planted_dups(ray_session, tmp_path):
     """The testdata has no exact-dup texts (the driver check is vacuous
     for the pair form): plant real dups and pin survivors + pairs."""
