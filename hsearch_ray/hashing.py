@@ -50,7 +50,15 @@ def int_range_cuts(lo: int, hi_end: int, n: int) -> np.ndarray:
     in float64, whose ulp near 2^63 is 2^11: computed bounds can land
     INSIDE the true key range, and range-masked shard builders then
     silently drop keys between the true extreme and the rounded bound
-    (full-range hash keys hit this; sequential ids never did)."""
+    (full-range hash keys hit this; sequential ids never did).
+
+    The final cut is an exclusive-END MARKER only: callers treat the
+    last shard as unbounded above (they pass hi=None for it), so when
+    the representable range collapses to a single point (every key ==
+    int64 max, so the clamped hi_end == lo) the result is [lo, lo] —
+    one unbounded shard — rather than zero shards that drop every key."""
+    if hi_end <= lo:
+        return np.array([lo, lo], dtype=np.int64)
     return np.unique(np.array(
         [lo + (hi_end - lo) * s // n for s in range(n + 1)],
         dtype=np.int64,

@@ -177,8 +177,14 @@ def test_int_range_cuts_cover_all_keys(keys, n):
     end = min(hi, np.iinfo(np.int64).max - 1) + 1
     bounds = int_range_cuts(lo, end, n)
     assert bounds[0] == lo
+    assert bounds.size >= 2  # at least one shard even when end <= lo
     bl = [int(b) for b in bounds]  # np.diff would overflow at 2^63 spans
-    assert all(a < b for a, b in zip(bl, bl[1:]))
+    # interiors strictly increase; the FINAL cut is an exclusive-end
+    # marker only (last shard is unbounded above), so it may equal the
+    # previous cut when the clamped range collapses to a single point
+    # (every key == int64 max)
+    assert all(a < b for a, b in zip(bl[:-1], bl[1:-1]))
+    assert bl[-1] >= bl[-2]
     sh = (np.searchsorted(bounds[1:-1], k, side="right")
           if bounds.size > 2 else np.zeros(k.size, np.int64))
     last = bounds.size - 2
