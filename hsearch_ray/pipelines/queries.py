@@ -1682,6 +1682,30 @@ def q_line_dedup_docs(sf_dir: str):
     )
 
 
+# Exact duplicated-n-gram ledger gram width (chars).  Spans ~4 vocab
+# words on the synthetic corpus so cross-doc sharing is non-trivial but
+# far from total.
+_DUP_NGRAM_K = 24
+
+
+def q_dup_ngram_docs(sf_dir: str):
+    """Exact duplicated-n-gram ledger (stages/ngramdup.py): for every
+    doc holding at least one {k}-char gram that also occurs in ANOTHER
+    doc, the count of such distinct grams and the positions they cover
+    — the per-doc evidence table exact-substring dedup (Lee et al.,
+    ACL 2022) thresholds before cutting spans.  The engine analog of
+    the reference's suffix-array shared-substring scan
+    (suffix_array.cpp:72-84): ONE distributed sort of the (gram, doc)
+    posting table by 64-bit gram hash + a vectorized run scan, instead
+    of a single-threaded std::sort over 500-char suffix compares."""
+    from hsearch_ray.stages.ngramdup import dup_ngram_stats
+
+    return dup_ngram_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=_DUP_NGRAM_K,
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -1733,6 +1757,7 @@ QUERIES = {
     "median_value_by_type": q_median_value_by_type,
     "repetition_docs": q_repetition_docs,
     "line_dedup_docs": q_line_dedup_docs,
+    "dup_ngram_docs": q_dup_ngram_docs,
     "stopword_docs": q_stopword_docs,
     "bpe_token_count_docs": q_bpe_token_count_docs,
 }
@@ -2324,6 +2349,27 @@ ORACLE_SQL = {
                  AS n_dup_lines
         FROM lines l JOIN c USING (line)
         GROUP BY l.doc_id
+    """,
+    "dup_ngram_docs": f"""
+        WITH pos AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, length(text) - {_DUP_NGRAM_K - 1}))
+                   AS i
+          FROM documents
+          WHERE length(text) >= {_DUP_NGRAM_K}
+        ),
+        per AS (
+          SELECT p.doc_id, substr(d.text, p.i, {_DUP_NGRAM_K}) AS g,
+                 count(*) AS cnt
+          FROM pos p JOIN documents d USING (doc_id)
+          GROUP BY p.doc_id, g
+        ),
+        nd AS (SELECT g FROM per GROUP BY g HAVING count(*) >= 2)
+        SELECT per.doc_id,
+               CAST(count(*) AS BIGINT) AS dup_grams,
+               CAST(sum(per.cnt) AS BIGINT) AS dup_positions
+        FROM per JOIN nd USING (g)
+        GROUP BY per.doc_id
     """,
     # no oracle (rows-only, genuinely non-SQL-expressible): simhash_docs
     # (byte-level rolling-hash bit votes), lsh_bucket_histogram (depends

@@ -29,6 +29,7 @@ NEW_QUERIES = [
     "line_dedup_docs",
     "stopword_docs",
     "bpe_token_count_docs",
+    "dup_ngram_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -50,6 +51,7 @@ MIN_ROWS = {
     "line_dedup_docs": 500,
     "stopword_docs": 480,
     "bpe_token_count_docs": 500,
+    "dup_ngram_docs": 100,
 }
 
 
@@ -198,6 +200,48 @@ def test_grouped_order_stat_forced_recursion(ray_session):
         n = vals.size
         want = round(float((vals[(n - 1) // 2] + vals[n // 2]) / 2.0), 6)
         assert out[key] == want, key
+
+
+def test_dup_ngram_stats_planted_spans(ray_session):
+    """Exact duplicated-n-gram ledger on a planted corpus: docs 0 and 1
+    share one 32-char span (k=16 -> 17 shared grams each), doc 2 repeats
+    a gram INSIDE itself only (must NOT count: cross-doc requires >= 2
+    distinct docs), doc 3 is unique, doc 4 is shorter than k (excluded).
+    Many 1-row input blocks force gram runs across sort-block edges, so
+    the kind=1 spill regroup path is exercised, not just interior runs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from hsearch_ray.stages.ngramdup import dup_ngram_stats
+
+    rng = np.random.default_rng(7)
+
+    def rand(n):
+        return "".join(rng.choice(list("abcdefghij"), size=n))
+
+    shared = "THE-QUICK-BROWN-FOX-JUMPS-OVER!!"  # 32 chars
+    assert len(shared) == 32
+    selfrep = rand(16)
+    docs = [
+        (0, rand(40) + shared + rand(40)),
+        (1, rand(40) + shared + rand(40)),
+        (2, selfrep + rand(30) + selfrep),
+        (3, rand(120)),
+        (4, "tiny"),
+    ]
+    ds = ray.data.from_arrow([
+        pa.table({"doc_id": pa.array([i], pa.int64()),
+                  "text": pa.array([t], pa.string())})
+        for i, t in docs
+    ])
+    out = dup_ngram_stats(ds, k=16).to_pandas().set_index("doc_id")
+    assert sorted(out.index) == [0, 1]
+    # 32-char span -> 32-16+1 = 17 grams, all distinct in this span and
+    # absent from the random tails with overwhelming probability
+    for d in (0, 1):
+        assert out.loc[d, "dup_grams"] == 17
+        assert out.loc[d, "dup_positions"] == 17
 
 
 def test_repetition_flag_discriminates(ray_session):
