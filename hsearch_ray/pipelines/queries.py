@@ -955,6 +955,25 @@ def q_embedding_dup_pairs_lsh(sf_dir: str):
     return df
 
 
+def q_semantic_dup_pairs(sf_dir: str):
+    """SemDeDup-style semantic dedup (ann.semantic_dup_pairs): k-means
+    coarse clusters + exact within-cluster cosine at the production
+    threshold 0.8 — the embedding-dedup shape that replaces the O(n²)
+    grid when corpus size rules it out.  Approximate by design
+    (cluster-boundary pairs are the only misses; rows-only driver
+    check): precision 1.0 by construction, recall vs the exact grid
+    pinned by a planted-dup pytest.  On this near-random testdata an
+    EMPTY result is the correct answer (max background cosine ~0.51)."""
+    from hsearch_ray.stages.ann import semantic_dup_pairs
+
+    emb = _read(sf_dir, "embeddings")
+    df = semantic_dup_pairs(emb, threshold=0.8, nlist=16).to_pandas()
+    if df.empty:  # 0-row Dataset -> pandas loses the schema; pin it
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64")})
+    return df
+
+
 def q_ann_topk(sf_dir: str):
     """Exact brute-force cosine top-5 for query vectors vec_id<10 (J2)."""
     from hsearch_ray.stages.ann import brute_force_topk
@@ -1758,6 +1777,7 @@ QUERIES = {
     "repetition_docs": q_repetition_docs,
     "line_dedup_docs": q_line_dedup_docs,
     "dup_ngram_docs": q_dup_ngram_docs,
+    "semantic_dup_pairs": q_semantic_dup_pairs,
     "stopword_docs": q_stopword_docs,
     "bpe_token_count_docs": q_bpe_token_count_docs,
 }
@@ -2371,6 +2391,8 @@ ORACLE_SQL = {
         FROM per JOIN nd USING (g)
         GROUP BY per.doc_id
     """,
+    # no oracle (rows-only, approximate by design): semantic_dup_pairs
+    # (k-means cluster-bounded candidates; recall pinned by pytest)
     # no oracle (rows-only, genuinely non-SQL-expressible): simhash_docs
     # (byte-level rolling-hash bit votes), lsh_bucket_histogram (depends
     # on the minhash family), ann_topk_lsh (approximate by design),

@@ -177,3 +177,30 @@ def test_ivf_topk_recall(ray_session):
     assert r8 >= 0.6
     # full probe == exact: every cell scanned reproduces brute force
     assert recall(16) == 1.0
+
+
+def test_semantic_dup_pairs_recall_and_precision(ray_session):
+    """SemDeDup arm (k-means buckets + exact within-cluster cosine):
+    precision must be 1.0 (within-cluster scoring is exact), recall vs
+    the local all-pairs oracle high on planted near-dups — a planted
+    dup sits ~0.97 cosine from its source, so k-means puts the pair in
+    the same cell almost always; a small tile size forces the tiled
+    matmul path."""
+    import numpy as np
+    import ray.data
+
+    from hsearch_ray.stages.ann import semantic_dup_pairs
+
+    ids, mat, tbl = _planted_embeddings()
+    thr = 0.9
+    want = _local_cosine_pairs(ids, mat.astype(np.float64), thr)
+    assert len(want) >= 20
+
+    got = semantic_dup_pairs(
+        ray.data.from_arrow([tbl.slice(0, 150), tbl.slice(150)]),
+        threshold=thr, nlist=8, tile=16,
+    ).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    assert got_pairs <= want  # exact within-cluster scoring: precision 1
+    recall = len(got_pairs & want) / len(want)
+    assert recall >= 0.9
