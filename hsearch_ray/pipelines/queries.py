@@ -1701,6 +1701,38 @@ def q_line_dedup_docs(sf_dir: str):
     )
 
 
+# Scrub pattern for the redaction query.  The kernel (textstats.
+# scrub_batch) is the PII-redaction plumbing — emails, phone numbers —
+# but the synthetic corpus carries none, so the REGISTERED query scrubs
+# flagged vocabulary terms instead: same RE2 kernel, non-trivial result.
+_SCRUB_PAT = r"\b(customer|vector|spark)\b"
+_SCRUB_REP = "<TERM>"
+
+
+def q_scrub_docs(sf_dir: str):
+    """Regex redaction ledger: per doc, the number of flagged-pattern
+    hits and the text length after scrubbing them (textstats.
+    scrub_batch: RE2 count + replace via pyarrow.compute, zero Python
+    per row).  The per-doc evidence table a scrubbing pipeline writes
+    alongside the rewritten corpus; at scale the scrubbed text itself
+    goes to a parquet sink instead of the driver."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _scrub(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from hsearch_ray.stages.textstats import scrub_batch
+
+        out = scrub_batch(batch, _SCRUB_PAT, _SCRUB_REP)
+        return pa.table({
+            "doc_id": out["doc_id"].cast(pa.int64()),
+            "n_hits": out["n_hits"],
+            "scrubbed_len": pc.utf8_length(out["text"]).cast(pa.int64()),
+        })
+
+    return ds.map_batches(_scrub, batch_format="pyarrow", batch_size=65536)
+
+
 # Exact duplicated-n-gram ledger gram width (chars).  Spans ~4 vocab
 # words on the synthetic corpus so cross-doc sharing is non-trivial but
 # far from total.
@@ -1778,6 +1810,7 @@ QUERIES = {
     "line_dedup_docs": q_line_dedup_docs,
     "dup_ngram_docs": q_dup_ngram_docs,
     "semantic_dup_pairs": q_semantic_dup_pairs,
+    "scrub_docs": q_scrub_docs,
     "stopword_docs": q_stopword_docs,
     "bpe_token_count_docs": q_bpe_token_count_docs,
 }
@@ -2369,6 +2402,17 @@ ORACLE_SQL = {
                  AS n_dup_lines
         FROM lines l JOIN c USING (line)
         GROUP BY l.doc_id
+    """,
+    # same RE2 library on both sides (DuckDB and pyarrow both wrap RE2),
+    # so pattern semantics — \\b word boundaries, alternation — agree
+    "scrub_docs": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_SCRUB_PAT}')) AS BIGINT)
+                 AS n_hits,
+               CAST(length(regexp_replace(text, '{_SCRUB_PAT}',
+                                          '{_SCRUB_REP}', 'g')) AS BIGINT)
+                 AS scrubbed_len
+        FROM documents
     """,
     "dup_ngram_docs": f"""
         WITH pos AS (

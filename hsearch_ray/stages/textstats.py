@@ -152,3 +152,22 @@ def stopword_stats(docs_ds):
 def bpe_token_counts(docs_ds):
     return docs_ds.map_batches(bpe_token_count_batch, batch_format="pandas",
                                batch_size=4096)
+
+
+def scrub_batch(batch, pattern: str, replacement: str):
+    """Vectorized regex redaction over one Arrow batch — the PII-scrub
+    kernel (emails, phone numbers, flagged terms): RE2 via
+    pyarrow.compute, zero Python per row.  Returns the input columns
+    with ``text`` replaced by the scrubbed text plus ``n_hits`` (match
+    count before scrubbing).  Callers drop or keep the scrubbed text;
+    the registered query reduces it to per-doc evidence columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    col = batch["text"]
+    red = pc.replace_substring_regex(col, pattern=pattern,
+                                     replacement=replacement)
+    n = pc.count_substring_regex(col, pattern)
+    out = batch.drop_columns(["text"])
+    out = out.append_column("text", red)
+    return out.append_column("n_hits", n.cast(pa.int64()))

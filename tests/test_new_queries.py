@@ -30,6 +30,7 @@ NEW_QUERIES = [
     "stopword_docs",
     "bpe_token_count_docs",
     "dup_ngram_docs",
+    "scrub_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -52,6 +53,7 @@ MIN_ROWS = {
     "stopword_docs": 480,
     "bpe_token_count_docs": 500,
     "dup_ngram_docs": 100,
+    "scrub_docs": 500,
 }
 
 
@@ -200,6 +202,33 @@ def test_grouped_order_stat_forced_recursion(ray_session):
         n = vals.size
         want = round(float((vals[(n - 1) // 2] + vals[n // 2]) / 2.0), 6)
         assert out[key] == want, key
+
+
+def test_scrub_kernel_redacts(ray_session):
+    """The scrub kernel must actually rewrite text, not just count:
+    a synthetic batch with known hits checks count AND redacted bytes
+    (an email-shaped PII pattern here — the registered query's term
+    pattern is the corpus-matching stand-in for the same kernel)."""
+    import pyarrow as pa
+
+    from hsearch_ray.stages.textstats import scrub_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "contact a@b.com or c@d.org now",
+            "no addresses here",
+            "x@y.io",
+        ], pa.string()),
+    })
+    out = scrub_batch(batch, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                      "<EMAIL>")
+    assert out["n_hits"].to_pylist() == [2, 0, 1]
+    assert out["text"].to_pylist() == [
+        "contact <EMAIL> or <EMAIL> now",
+        "no addresses here",
+        "<EMAIL>",
+    ]
 
 
 def test_dup_ngram_stats_planted_spans(ray_session):
