@@ -1701,6 +1701,86 @@ def q_line_dedup_docs(sf_dir: str):
     )
 
 
+def q_tfidf_docs(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms — the document-term weighting pass a
+    retrieval / quality pipeline runs over the whole corpus.  Two
+    streaming passes, nothing corpus-sized on the driver (the
+    line-dedup discipline): (1) per-batch distinct-(doc, token) rows ->
+    distributed grouped count = document frequency (the token
+    vocabulary never lands on the driver); (2) the df table ships as
+    the id-range-sharded kv store keyed by the 64-bit token hash
+    (polars' vectorized utf8 hash), and a second pass computes per-doc
+    tf, looks up df, and takes the per-doc top-3 WITHIN the batch (docs
+    are whole within a batch — no second shuffle).  The float score
+    tf*ln(N/df) is rounded to 6 places before ranking in BOTH engines
+    (the repo float discipline) and used for ORDERING only; the output
+    is all-integer + token, so the value hash never touches a float."""
+    import polars as pl
+
+    from hsearch_ray.stages.agg import grouped_agg_ds
+    from hsearch_ray.stages.lsh import _kv_lookup, build_kv_store
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    def _doc_tokens(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        toks = df["text"].str.findall(r"\S+")
+        out = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(dtype=np.int64),
+                                toks.str.len().to_numpy(dtype=np.int64)),
+            "token": np.concatenate(toks.to_numpy()) if len(df) else
+                     np.empty(0, dtype=object),
+        })
+        return (out.groupby(["doc_id", "token"], as_index=False, sort=False)
+                .size().rename(columns={"size": "tf"}))
+
+    def _df_partials(batch: pa.Table) -> pa.Table:
+        tf = _doc_tokens(batch)
+        h = pl.from_pandas(tf["token"].astype(str)).hash(seed=42) \
+            .to_numpy().view(np.int64)
+        uh, n = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uh, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    dfreq = grouped_agg_ds(
+        ds.map_batches(_df_partials, batch_format="pyarrow", batch_size=2048),
+        ["h"], {"n": ["sum"]},
+    )
+    store_ref = ray.put(build_kv_store(dfreq, "h", "n__sum"))
+
+    def _topk(batch: pa.Table) -> pd.DataFrame:
+        tf = _doc_tokens(batch)
+        if tf.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "rank": pd.Series(dtype="int64"),
+                                 "token": pd.Series(dtype=object),
+                                 "tf": pd.Series(dtype="int64"),
+                                 "df": pd.Series(dtype="int64")})
+        h = pl.from_pandas(tf["token"].astype(str)).hash(seed=42) \
+            .to_numpy().view(np.int64)
+        dfv, ok = _kv_lookup(store_ref).lookup(h)
+        dfv = np.where(ok, dfv, 1)  # every token HAS a df; belt+braces
+        tf["df"] = dfv.astype(np.int64)
+        tf["s"] = np.round(
+            tf["tf"].to_numpy(dtype=np.float64)
+            * np.log(float(n_docs) / dfv.astype(np.float64)), 6
+        )
+        tf = tf.sort_values(["doc_id", "s", "token"],
+                            ascending=[True, False, True], kind="stable")
+        tf["rank"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+        out = tf[tf["rank"] <= 3]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(dtype=np.int64),
+            "rank": out["rank"].to_numpy(dtype=np.int64),
+            "token": out["token"].to_numpy(),
+            "tf": out["tf"].to_numpy(dtype=np.int64),
+            "df": out["df"].to_numpy(dtype=np.int64),
+        })
+
+    return ds.map_batches(_topk, batch_format="pyarrow", batch_size=2048)
+
+
 # Scrub pattern for the redaction query.  The kernel (textstats.
 # scrub_batch) is the PII-redaction plumbing — emails, phone numbers —
 # but the synthetic corpus carries none, so the REGISTERED query scrubs
@@ -1811,6 +1891,7 @@ QUERIES = {
     "dup_ngram_docs": q_dup_ngram_docs,
     "semantic_dup_pairs": q_semantic_dup_pairs,
     "scrub_docs": q_scrub_docs,
+    "tfidf_docs": q_tfidf_docs,
     "stopword_docs": q_stopword_docs,
     "bpe_token_count_docs": q_bpe_token_count_docs,
 }
@@ -2402,6 +2483,32 @@ ORACLE_SQL = {
                  AS n_dup_lines
         FROM lines l JOIN c USING (line)
         GROUP BY l.doc_id
+    """,
+    # float discipline: the tf*ln(N/df) score is round(…, 6)-ed BEFORE
+    # ranking in both engines and appears in NEITHER output
+    "tfidf_docs": r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, token, count(*) AS tf
+               FROM toks GROUP BY doc_id, token),
+        df AS (SELECT token, count(DISTINCT doc_id) AS df
+               FROM toks GROUP BY token),
+        n AS (SELECT count(*) AS n FROM documents),
+        ranked AS (
+          SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6)
+                              DESC,
+                            tf.token
+                 ) AS rank
+          FROM tf JOIN df USING (token), n
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM ranked WHERE rank <= 3
     """,
     # same RE2 library on both sides (DuckDB and pyarrow both wrap RE2),
     # so pattern semantics — \\b word boundaries, alternation — agree

@@ -31,6 +31,7 @@ NEW_QUERIES = [
     "bpe_token_count_docs",
     "dup_ngram_docs",
     "scrub_docs",
+    "tfidf_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -54,6 +55,7 @@ MIN_ROWS = {
     "bpe_token_count_docs": 500,
     "dup_ngram_docs": 100,
     "scrub_docs": 500,
+    "tfidf_docs": 1400,
 }
 
 
