@@ -1701,6 +1701,39 @@ def q_line_dedup_docs(sf_dir: str):
     )
 
 
+# Stratified mix rates as 32-bit hash thresholds: the "rebalance the
+# language mix" pretraining op — downsample the dominant language,
+# keep the rest.  Thresholds are powers of two so the keep rate is
+# exact and the oracle predicate is integer-only.
+_MIX_THRESHOLDS = {"en": 1 << 30, "de": 1 << 32, "es": 1 << 32,
+                   "fr": 1 << 32, "zh": 1 << 32}  # en 1/4, others all
+
+
+def q_mix_sources_docs(sf_dir: str):
+    """Deterministic stratified mixing — the data-mixing pass that
+    rebalances a pretraining corpus (downsample the dominant stratum,
+    keep the tails): each doc survives iff its multiplicative id-hash
+    lands under its STRATUM's threshold (the hash_sample discipline
+    with per-group rates).  Embarrassingly parallel, no shuffle, no
+    randomness — exactly reproducible across runs, engines and corpus
+    shardings, and a doc's fate never depends on which shard holds it
+    (the property that makes the mix resumable at 100 TB)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    thr = dict(_MIX_THRESHOLDS)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        langs = batch["lang"].to_pandas()
+        t = langs.map(thr).fillna(0).to_numpy(dtype=np.uint64)
+        h = (did.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) \
+            % np.uint64(1 << 32)
+        sub = batch.filter(pa.array(h < t))
+        return pa.table({"doc_id": sub["doc_id"].cast(pa.int64()),
+                         "lang": sub["lang"].cast(pa.string())})
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 def q_tfidf_docs(sf_dir: str):
     """Per-doc top-3 TF-IDF terms — the document-term weighting pass a
     retrieval / quality pipeline runs over the whole corpus.  Two
@@ -1892,6 +1925,7 @@ QUERIES = {
     "semantic_dup_pairs": q_semantic_dup_pairs,
     "scrub_docs": q_scrub_docs,
     "tfidf_docs": q_tfidf_docs,
+    "mix_sources_docs": q_mix_sources_docs,
     "stopword_docs": q_stopword_docs,
     "bpe_token_count_docs": q_bpe_token_count_docs,
 }
@@ -2483,6 +2517,11 @@ ORACLE_SQL = {
                  AS n_dup_lines
         FROM lines l JOIN c USING (line)
         GROUP BY l.doc_id
+    """,
+    "mix_sources_docs": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE (CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT}) % 4294967296
+              < (CASE WHEN lang = 'en' THEN {1 << 30} ELSE {1 << 32} END)
     """,
     # float discipline: the tf*ln(N/df) score is round(…, 6)-ed BEFORE
     # ranking in both engines and appears in NEITHER output

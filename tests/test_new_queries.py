@@ -32,6 +32,7 @@ NEW_QUERIES = [
     "dup_ngram_docs",
     "scrub_docs",
     "tfidf_docs",
+    "mix_sources_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -56,6 +57,7 @@ MIN_ROWS = {
     "dup_ngram_docs": 100,
     "scrub_docs": 500,
     "tfidf_docs": 1400,
+    "mix_sources_docs": 200,
 }
 
 
