@@ -1734,6 +1734,63 @@ def q_mix_sources_docs(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def q_pack_sequences_docs(sf_dir: str):
+    """Concat-and-chunk sequence packing — the pass that turns a doc
+    corpus into fixed-budget training sequences: docs are concatenated
+    in doc_id order and chunked every ``_PACK_BUDGET`` tokens; each doc
+    is assigned the sequence its first token lands in (``seq_id``) plus
+    its global token offset.  The core primitive is a DISTRIBUTED
+    EXCLUSIVE PREFIX SUM (the classic two-pass scan): sort the NARROW
+    (doc_id, n_tokens) rows — text never enters the exchange — and
+    materialize, so both passes see identical blocks covering disjoint
+    doc_id ranges; pass A reduces each block to (min doc_id, token sum)
+    — an O(blocks) table — and the driver's exclusive scan over it
+    yields per-block offsets; pass B adds the block-local exclusive
+    cumsum to the broadcast offset.  Output is independent of block
+    boundaries, so it is identical at any parallelism level, and every
+    stage is O(rows/blocks) — nothing corpus-sized on the driver."""
+    toks = textstats.token_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+    narrow = toks.sort("doc_id").materialize()
+
+    def _block_mark(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "tot": pa.array([], pa.int64())})
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([int(did[0])], pa.int64()),
+                         "tot": pa.array([int(nt.sum())], pa.int64())})
+
+    marks = narrow.map_batches(
+        _block_mark, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values("lo")
+    tots = marks["tot"].to_numpy(dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(tots[:-1])]).astype(np.int64)
+    ref = ray.put(dict(zip(marks["lo"].astype(int), offs.tolist())))
+
+    def _assign(batch: pa.Table, ref=ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "tok_offset": pa.array([], pa.int64()),
+                             "seq_id": pa.array([], pa.int64())})
+        offsets = ray.get(ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        excl = np.cumsum(nt) - nt + offsets[int(did[0])]
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "n_tokens": pa.array(nt, pa.int64()),
+                         "tok_offset": pa.array(excl, pa.int64()),
+                         "seq_id": pa.array(excl // _PACK_BUDGET, pa.int64())})
+
+    return narrow.map_batches(_assign, batch_format="pyarrow", batch_size=None)
+
+
 def q_tfidf_docs(sf_dir: str):
     """Per-doc top-3 TF-IDF terms — the document-term weighting pass a
     retrieval / quality pipeline runs over the whole corpus.  Two
@@ -1926,6 +1983,7 @@ QUERIES = {
     "scrub_docs": q_scrub_docs,
     "tfidf_docs": q_tfidf_docs,
     "mix_sources_docs": q_mix_sources_docs,
+    "pack_sequences_docs": q_pack_sequences_docs,
     "stopword_docs": q_stopword_docs,
     "bpe_token_count_docs": q_bpe_token_count_docs,
 }
@@ -2522,6 +2580,24 @@ ORACLE_SQL = {
         SELECT doc_id, lang FROM documents
         WHERE (CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT}) % 4294967296
               < (CASE WHEN lang = 'en' THEN {1 << 30} ELSE {1 << 32} END)
+    """,
+    # integer-only: exclusive running sum of whitespace token counts in
+    # doc_id order, then BIGINT floor-division by the sequence budget
+    "pack_sequences_docs": rf"""
+        WITH t AS (
+            SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_offset,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) // {_PACK_BUDGET} AS seq_id
+        FROM t
     """,
     # float discipline: the tf*ln(N/df) score is round(…, 6)-ed BEFORE
     # ranking in both engines and appears in NEITHER output

@@ -33,6 +33,7 @@ NEW_QUERIES = [
     "scrub_docs",
     "tfidf_docs",
     "mix_sources_docs",
+    "pack_sequences_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -58,6 +59,7 @@ MIN_ROWS = {
     "scrub_docs": 500,
     "tfidf_docs": 1400,
     "mix_sources_docs": 200,
+    "pack_sequences_docs": 500,
 }
 
 
@@ -275,6 +277,41 @@ def test_dup_ngram_stats_planted_spans(ray_session):
     for d in (0, 1):
         assert out.loc[d, "dup_grams"] == 17
         assert out.loc[d, "dup_positions"] == 17
+
+
+def test_pack_sequences_multiblock_offsets(ray_session, tmp_path):
+    """The distributed prefix sum must be exact when docs arrive in many
+    blocks in arbitrary shard order (the sf0.001 single-file read may
+    collapse to one block, where per-block offsets are vacuous): shard
+    the documents table into 8 interleaved parquet files and check the
+    result against a serial cumsum."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hsearch_ray.pipelines.queries import QUERIES, _PACK_BUDGET
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    shard_dir = tmp_path / "documents.parquet"
+    shard_dir.mkdir()
+    for i in range(8):
+        # round-robin: every shard spans the full doc_id range, so block
+        # boundaries interleave and every offset is exercised
+        pq.write_table(t.take(list(range(i, t.num_rows, 8))),
+                       shard_dir / f"part-{i}.parquet")
+
+    got = QUERIES["pack_sequences_docs"](str(tmp_path)).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    df = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ntok = df["text"].map(lambda s: len(re.findall(r"\S+", s))).to_numpy(np.int64)
+    excl = np.cumsum(ntok) - ntok
+    assert (got["doc_id"].to_numpy() == df["doc_id"].to_numpy()).all()
+    assert (got["n_tokens"].to_numpy() == ntok).all()
+    assert (got["tok_offset"].to_numpy() == excl).all()
+    assert (got["seq_id"].to_numpy() == excl // _PACK_BUDGET).all()
+    assert got["seq_id"].nunique() > 10  # budget actually chunks
 
 
 def test_repetition_flag_discriminates(ray_session):
