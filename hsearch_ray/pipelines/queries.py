@@ -1737,41 +1737,59 @@ def q_mix_sources_docs(sf_dir: str):
 _PACK_BUDGET = 512  # tokens per packed training sequence
 
 
+def distributed_exclusive_scan(narrow, key_cols: list[str], values_of):
+    """Distributed EXCLUSIVE PREFIX SUM (the classic two-pass scan) over
+    a SORTED, MATERIALIZED narrow dataset.  After ``sort(key_cols)`` +
+    ``materialize()``, blocks cover disjoint key ranges and are
+    identical across passes, so: pass A reduces each block to (first-row
+    key tuple, value sum) — an O(blocks) table — and the driver's
+    exclusive scan over it in key order yields exact per-block offsets.
+    Returns a ``ray.put`` ref to the {first-key-tuple: offset} dict for
+    a pass-B ``map_batches`` (offset + block-local exclusive cumsum =
+    global exclusive prefix).  Output is independent of block
+    boundaries, hence identical at any parallelism level; only O(blocks)
+    rows ever reach the driver.  ``values_of(batch) -> int64 ndarray``
+    supplies the summand per row (np.ones for a distributed
+    ROW_NUMBER)."""
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        cols = {}
+        if batch.num_rows == 0:
+            for c in key_cols:
+                cols[c] = pa.array([], batch.schema.field(c).type)
+            cols["tot_"] = pa.array([], pa.int64())
+        else:
+            for c in key_cols:
+                cols[c] = pa.array([batch[c][0].as_py()],
+                                   batch.schema.field(c).type)
+            cols["tot_"] = pa.array([int(values_of(batch).sum())], pa.int64())
+        return pa.table(cols)
+
+    marks = narrow.map_batches(
+        _mark, batch_format="pyarrow", batch_size=None
+    ).to_pandas().sort_values(key_cols).reset_index(drop=True)
+    tots = marks["tot_"].to_numpy(dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(tots[:-1])]).astype(np.int64)
+    keys = marks[key_cols].itertuples(index=False, name=None)
+    return ray.put({tuple(k): int(o) for k, o in zip(keys, offs)})
+
+
 def q_pack_sequences_docs(sf_dir: str):
     """Concat-and-chunk sequence packing — the pass that turns a doc
     corpus into fixed-budget training sequences: docs are concatenated
     in doc_id order and chunked every ``_PACK_BUDGET`` tokens; each doc
     is assigned the sequence its first token lands in (``seq_id``) plus
-    its global token offset.  The core primitive is a DISTRIBUTED
-    EXCLUSIVE PREFIX SUM (the classic two-pass scan): sort the NARROW
-    (doc_id, n_tokens) rows — text never enters the exchange — and
-    materialize, so both passes see identical blocks covering disjoint
-    doc_id ranges; pass A reduces each block to (min doc_id, token sum)
-    — an O(blocks) table — and the driver's exclusive scan over it
-    yields per-block offsets; pass B adds the block-local exclusive
-    cumsum to the broadcast offset.  Output is independent of block
-    boundaries, so it is identical at any parallelism level, and every
-    stage is O(rows/blocks) — nothing corpus-sized on the driver."""
+    its global token offset.  Built on ``distributed_exclusive_scan``
+    over the NARROW (doc_id, n_tokens) rows — text never enters the
+    exchange, nothing corpus-sized touches the driver."""
     toks = textstats.token_counts(
         _read(sf_dir, "documents", columns=["doc_id", "text"])
     )
     narrow = toks.sort("doc_id").materialize()
-
-    def _block_mark(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"lo": pa.array([], pa.int64()),
-                             "tot": pa.array([], pa.int64())})
-        did = batch["doc_id"].to_numpy(zero_copy_only=False)
-        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
-        return pa.table({"lo": pa.array([int(did[0])], pa.int64()),
-                         "tot": pa.array([int(nt.sum())], pa.int64())})
-
-    marks = narrow.map_batches(
-        _block_mark, batch_format="pyarrow", batch_size=None
-    ).to_pandas().sort_values("lo")
-    tots = marks["tot"].to_numpy(dtype=np.int64)
-    offs = np.concatenate([[0], np.cumsum(tots[:-1])]).astype(np.int64)
-    ref = ray.put(dict(zip(marks["lo"].astype(int), offs.tolist())))
+    ref = distributed_exclusive_scan(
+        narrow, ["doc_id"],
+        lambda b: b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64),
+    )
 
     def _assign(batch: pa.Table, ref=ref) -> pa.Table:
         if batch.num_rows == 0:
@@ -1782,13 +1800,82 @@ def q_pack_sequences_docs(sf_dir: str):
         offsets = ray.get(ref)
         did = batch["doc_id"].to_numpy(zero_copy_only=False)
         nt = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
-        excl = np.cumsum(nt) - nt + offsets[int(did[0])]
+        excl = np.cumsum(nt) - nt + offsets[(int(did[0]),)]
         return pa.table({"doc_id": pa.array(did, pa.int64()),
                          "n_tokens": pa.array(nt, pa.int64()),
                          "tok_offset": pa.array(excl, pa.int64()),
                          "seq_id": pa.array(excl // _PACK_BUDGET, pa.int64())})
 
     return narrow.map_batches(_assign, batch_format="pyarrow", batch_size=None)
+
+
+def q_shuffle_rank_docs(sf_dir: str):
+    """Deterministic global training-order shuffle — the epoch-order
+    assignment a trainer consumes: rank = position in multiplicative-
+    id-hash order (doc_id tie-break makes the order total), i.e. a
+    DISTRIBUTED ROW_NUMBER: hash per batch, one narrow (h, doc_id)
+    sort, then ``distributed_exclusive_scan`` with summand 1.  Exactly
+    reproducible across runs, engines and parallelism levels — the
+    property a resumable 100-TB training job needs from its shuffle
+    (contrast ``sample_events``' engine ``random_shuffle``, which is
+    seeded but block-layout-dependent)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = (did.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) \
+            % np.uint64(1 << 32)
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "h": pa.array(h.astype(np.int64), pa.int64())})
+
+    narrow = ds.map_batches(_hash, batch_format="pyarrow") \
+        .sort(["h", "doc_id"]).materialize()
+    ref = distributed_exclusive_scan(
+        narrow, ["h", "doc_id"],
+        lambda b: np.ones(b.num_rows, dtype=np.int64),
+    )
+
+    def _rank(batch: pa.Table, ref=ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        offsets = ray.get(ref)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        base = offsets[(int(h[0]), int(did[0]))]
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "rank": pa.array(base + np.arange(did.size, dtype=np.int64),
+                             pa.int64()),
+        })
+
+    return narrow.map_batches(_rank, batch_format="pyarrow", batch_size=None)
+
+
+def q_quantile_filter_docs(sf_dir: str):
+    """Quantile-threshold quality gate — drop the bottom quartile by
+    token count (the 'filter to the top X% by signal' pass a pretraining
+    pipeline runs after scoring): the threshold is the EXACT 25th-
+    percentile order statistic found by the distributed histogram
+    recursion (``exact_order_stat_distributed`` — only histogram
+    partials and one driver-sized range ever leave the workers), then a
+    broadcast scalar filter.  Integer token counts make the oracle
+    comparison exact."""
+    toks = textstats.token_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ).materialize()
+    thr = exact_order_stat_distributed(
+        toks, "n_tokens", kfn=lambda n: ((n - 1) // 4,) * 2
+    )
+    thr = int(thr)  # single integer element: round(,6) is exact
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(nt >= thr))
+        return pa.table({"doc_id": sub["doc_id"].cast(pa.int64()),
+                         "n_tokens": sub["n_tokens"].cast(pa.int64())})
+
+    return toks.map_batches(_keep, batch_format="pyarrow")
 
 
 def q_tfidf_docs(sf_dir: str):
@@ -1984,6 +2071,8 @@ QUERIES = {
     "tfidf_docs": q_tfidf_docs,
     "mix_sources_docs": q_mix_sources_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
+    "shuffle_rank_docs": q_shuffle_rank_docs,
+    "quantile_filter_docs": q_quantile_filter_docs,
     "stopword_docs": q_stopword_docs,
     "bpe_token_count_docs": q_bpe_token_count_docs,
 }
@@ -2598,6 +2687,27 @@ ORACLE_SQL = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS BIGINT) // {_PACK_BUDGET} AS seq_id
         FROM t
+    """,
+    "shuffle_rank_docs": f"""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY (CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT})
+                            % 4294967296, doc_id
+               ) - 1 AS rank
+        FROM documents
+    """,
+    # exact discrete quantile: the element at 0-indexed (n-1)//4 in
+    # token-count order — integer-only, no interpolation
+    "quantile_filter_docs": r"""
+        WITH t AS (
+            SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens
+            FROM documents
+        ),
+        thr AS (
+            SELECT n_tokens AS v FROM t ORDER BY n_tokens
+            LIMIT 1 OFFSET (SELECT (COUNT(*) - 1) // 4 FROM t)
+        )
+        SELECT doc_id, n_tokens FROM t WHERE n_tokens >= (SELECT v FROM thr)
     """,
     # float discipline: the tf*ln(N/df) score is round(…, 6)-ed BEFORE
     # ranking in both engines and appears in NEITHER output

@@ -34,6 +34,8 @@ NEW_QUERIES = [
     "tfidf_docs",
     "mix_sources_docs",
     "pack_sequences_docs",
+    "shuffle_rank_docs",
+    "quantile_filter_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -60,6 +62,8 @@ MIN_ROWS = {
     "tfidf_docs": 1400,
     "mix_sources_docs": 200,
     "pack_sequences_docs": 500,
+    "shuffle_rank_docs": 500,
+    "quantile_filter_docs": 300,
 }
 
 
@@ -312,6 +316,19 @@ def test_pack_sequences_multiblock_offsets(ray_session, tmp_path):
     assert (got["tok_offset"].to_numpy() == excl).all()
     assert (got["seq_id"].to_numpy() == excl // _PACK_BUDGET).all()
     assert got["seq_id"].nunique() > 10  # budget actually chunks
+
+    # shuffle_rank shares the scan primitive: ranks over the sharded
+    # corpus must be the exact permutation 0..n-1 in hash order
+    from hsearch_ray.pipelines.queries import _SAMPLE_MULT
+
+    ranks = QUERIES["shuffle_rank_docs"](str(tmp_path)).to_pandas()
+    ranks = ranks.sort_values("doc_id").reset_index(drop=True)
+    did = df["doc_id"].to_numpy(np.uint64)
+    h = (did * np.uint64(_SAMPLE_MULT)) % np.uint64(1 << 32)
+    order = np.lexsort((did, h))
+    want = np.empty(did.size, dtype=np.int64)
+    want[order] = np.arange(did.size)
+    assert (ranks["rank"].to_numpy() == want).all()
 
 
 def test_repetition_flag_discriminates(ray_session):
