@@ -14,6 +14,8 @@ import json
 import os
 import shutil
 
+import ray
+
 
 def write_outputs(result, out_dir: str) -> dict:
     """Write clusters/, pairs/, kept_manifest/ parquet dirs + metrics.json.
@@ -67,3 +69,71 @@ def write_pair_report(pairs_ds, path: str, limit: int = 10_000) -> int:
             n += 1
     os.replace(tmp, path)
     return n
+
+
+@ray.remote
+def _write_one_shard(in_file: str, out_dir: str, tag: str, fn) -> int:
+    """Transform + write ONE input shard, memory-bounded by row-group
+    streaming (never the whole shard in heap), atomically: data file
+    renamed into place BEFORE the .done marker appears, so a crash
+    between the two leaves a re-doable shard, never a lying marker."""
+    import pyarrow.parquet as _pq
+
+    tmp = os.path.join(out_dir, tag + ".parquet.tmp")
+    dst = os.path.join(out_dir, tag + ".parquet")
+    pf = _pq.ParquetFile(in_file)
+    n = 0
+    writer = None
+    try:
+        for batch in pf.iter_batches(batch_size=65536):
+            import pyarrow as _pa
+
+            t = _pa.Table.from_batches([batch])
+            if fn is not None:
+                t = fn(t)
+            if writer is None:
+                writer = _pq.ParquetWriter(tmp, t.schema)
+            writer.write_table(t)
+            n += t.num_rows
+        if writer is None:  # empty shard: keep an empty file for schema
+            writer = _pq.ParquetWriter(tmp, pf.schema_arrow)
+    finally:
+        if writer is not None:
+            writer.close()
+    os.replace(tmp, dst)
+    with open(os.path.join(out_dir, tag + ".done"), "w") as f:
+        json.dump({"input": in_file, "rows": n}, f)
+    return n
+
+
+def resumable_shard_write(input_files, out_dir: str, fn=None,
+                          max_in_flight: int = 64) -> dict:
+    """Resumable partitioned sink: one output parquet + ``.done`` marker
+    per INPUT shard, so a failed 100-TB run re-does only the missing
+    shards (the prompt-level resume contract; ``state/lineage.py`` is
+    the whole-stage analog).  A raw-task escape hatch BY DESIGN: the
+    per-shard transform must be a pure per-row map/filter (no cross-
+    shard state), which is exactly when shard-grain resume is sound —
+    wide stages resume via lineage checkpoints instead.  Tasks are
+    throttled with a ``ray.wait`` sliding window so a million-shard
+    corpus never floods the scheduler; ``out_dir`` must be storage all
+    nodes share.  Returns {written_shards, skipped_shards, rows}."""
+    os.makedirs(out_dir, exist_ok=True)
+    pending: list[tuple[str, str]] = []
+    skipped = 0
+    for i, f in enumerate(sorted(input_files)):
+        tag = f"shard-{i:05d}"
+        if os.path.exists(os.path.join(out_dir, tag + ".done")):
+            skipped += 1
+            continue
+        pending.append((f, tag))
+    rows = 0
+    in_flight: list = []
+    for f, tag in pending:
+        if len(in_flight) >= max_in_flight:
+            done, in_flight = ray.wait(in_flight, num_returns=1)
+            rows += sum(ray.get(done))
+        in_flight.append(_write_one_shard.remote(f, out_dir, tag, fn))
+    rows += sum(ray.get(in_flight))
+    return {"written_shards": len(pending), "skipped_shards": skipped,
+            "rows": rows}

@@ -86,3 +86,53 @@ def test_cli_dedup_roundtrip(tmp_path):
     assert sorted(zip(c1["file_id"], c1["cluster_id"])) == sorted(
         zip(c2["file_id"], c2["cluster_id"])
     )
+
+
+def test_resumable_shard_write_skips_done_shards(ray_session, tmp_path):
+    """Shard-grain resume: first run writes every shard; deleting three
+    .done markers makes a rerun redo EXACTLY those three (skip proven by
+    the summary counts and untouched mtimes), and the union of shard
+    outputs equals the direct transform of the whole input."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq2
+
+    from hsearch_ray.pipelines.outputs import resumable_shard_write
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    files = []
+    for i in range(8):
+        t = pa.table({
+            "doc_id": pa.array(range(i * 100, i * 100 + 100), pa.int64()),
+            "n": pa.array([i] * 100, pa.int64()),
+        })
+        p = str(in_dir / f"part-{i}.parquet")
+        pq2.write_table(t, p)
+        files.append(p)
+
+    def double(t: pa.Table) -> pa.Table:
+        return t.set_column(1, "n", pc.multiply(t["n"], 2))
+
+    out = tmp_path / "out"
+    s1 = resumable_shard_write(files, str(out), fn=double, max_in_flight=3)
+    assert s1 == {"written_shards": 8, "skipped_shards": 0, "rows": 800}
+
+    kept_mtimes = {
+        f: os.stat(out / f"shard-{i:05d}.parquet").st_mtime_ns
+        for i, f in enumerate(sorted(files)) if i >= 3
+    }
+    for i in range(3):
+        os.remove(out / f"shard-{i:05d}.done")
+    s2 = resumable_shard_write(files, str(out), fn=double, max_in_flight=3)
+    assert s2 == {"written_shards": 3, "skipped_shards": 5, "rows": 300}
+    for i, f in enumerate(sorted(files)):
+        if i >= 3:
+            assert os.stat(out / f"shard-{i:05d}.parquet").st_mtime_ns \
+                == kept_mtimes[f]
+
+    got = pq2.read_table([str(out / f"shard-{i:05d}.parquet")
+                          for i in range(8)])
+    want = double(pq2.read_table(files))
+    assert got.sort_by("doc_id").equals(want.sort_by("doc_id"))
+    assert not any(p.endswith(".tmp") for p in os.listdir(out))
