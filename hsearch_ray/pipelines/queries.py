@@ -887,6 +887,45 @@ def q_tsv_lang_count_docs(sf_dir: str):
     )
 
 
+def q_jsonl_token_count_docs(sf_dir: str):
+    """JSONL source round-trip (S5's second wire format — raw
+    pretraining corpora arrive as JSON-lines shards): export documents
+    to JSONL once (cache keyed by the parquet's content identity, the
+    TSV reader's discipline), read it back with the validating
+    ``sources.read_jsonl``, and recompute per-doc char AND token counts
+    from the round-tripped text.  The oracle recomputes from the
+    PARQUET table, so equality proves text survives JSON escaping,
+    quoting and unicode intact — a mangled quote or lost codepoint
+    breaks the char count, collapsed whitespace breaks the token
+    count."""
+    import os
+
+    from hsearch_ray.sources import read_jsonl, write_jsonl
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_mtime_ns}_{st.st_size}"
+    jdir = f"/tmp/graft_jsonl_{tag}"
+    marker = jdir + "/.done"
+    if not os.path.exists(marker):
+        os.makedirs(jdir, exist_ok=True)
+        write_jsonl(_read(sf_dir, "documents", columns=["doc_id", "text"]), jdir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    ds = read_jsonl(f"{jdir}/", required=("doc_id", "text"),
+                    int_cols=("doc_id",))
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_chars_rt": df["text"].str.len().astype("int64"),
+            "n_tokens": df["text"].str.count(r"\S+").astype("int64"),
+        })
+
+    return ds.map_batches(_counts, batch_format="pandas", batch_size=4096)
+
+
 # ---------------------------------------------------------------- similarity search
 
 
@@ -2036,6 +2075,7 @@ QUERIES = {
     "recall_eval_docs": q_recall_eval_docs,
     "cluster_radius_docs": q_cluster_radius_docs,
     "tsv_lang_count_docs": q_tsv_lang_count_docs,
+    "jsonl_token_count_docs": q_jsonl_token_count_docs,
     "simhash_dup_pairs_docs": q_simhash_dup_pairs_docs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "embedding_dup_pairs_lsh": q_embedding_dup_pairs_lsh,
@@ -2301,6 +2341,11 @@ ORACLE_SQL = {
     "tsv_lang_count_docs": """
         SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents GROUP BY lang
+    """,
+    "jsonl_token_count_docs": r"""
+        SELECT doc_id, length(text) AS n_chars_rt,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens
+        FROM documents
     """,
     "near_dup_pairs_docs": _NEAR_DUP_PAIRS_SQL,
     "near_dup_clusters_docs": _NEAR_DUP_CLUSTERS_SQL,

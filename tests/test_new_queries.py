@@ -36,6 +36,7 @@ NEW_QUERIES = [
     "pack_sequences_docs",
     "shuffle_rank_docs",
     "quantile_filter_docs",
+    "jsonl_token_count_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -64,6 +65,7 @@ MIN_ROWS = {
     "pack_sequences_docs": 500,
     "shuffle_rank_docs": 500,
     "quantile_filter_docs": 300,
+    "jsonl_token_count_docs": 500,
 }
 
 
@@ -329,6 +331,33 @@ def test_pack_sequences_multiblock_offsets(ray_session, tmp_path):
     want = np.empty(did.size, dtype=np.int64)
     want[order] = np.arange(did.size)
     assert (ranks["rank"].to_numpy() == want).all()
+
+
+def test_jsonl_reader_validates(ray_session, tmp_path):
+    """The validating reader must fail loudly on schema drift (missing
+    required column, nulls in an id column) and must widen JSON-inferred
+    integer types to int64."""
+    import pytest as _pytest
+    import ray as _ray
+
+    from hsearch_ray.sources import read_jsonl
+
+    ok = tmp_path / "ok.json"
+    ok.write_text('{"doc_id": 1, "text": "a b"}\n{"doc_id": 2, "text": "c"}\n')
+    out = read_jsonl(str(ok), required=("doc_id", "text"),
+                     int_cols=("doc_id",)).to_pandas()
+    assert out["doc_id"].dtype == "int64" and len(out) == 2
+
+    drift = tmp_path / "drift.json"
+    drift.write_text('{"doc_id": 1}\n')
+    with _pytest.raises(_ray.exceptions.RayTaskError, match="required column"):
+        read_jsonl(str(drift), required=("doc_id", "text")).materialize()
+
+    nulls = tmp_path / "nulls.json"
+    nulls.write_text('{"doc_id": null, "text": "x"}\n')
+    with _pytest.raises(_ray.exceptions.RayTaskError, match="has nulls"):
+        read_jsonl(str(nulls), required=("doc_id", "text"),
+                   int_cols=("doc_id",)).materialize()
 
 
 def test_repetition_flag_discriminates(ray_session):
