@@ -1277,6 +1277,37 @@ def q_hourly_events(sf_dir: str):
     return out
 
 
+def q_hopping_events(sf_dir: str):
+    """Hopping (sliding) window aggregate — size 3 h, hop 1 h: the
+    overlapping-window sibling of the tumbling window (a streaming
+    engine's HOP/SLIDE).  Each event belongs to exactly size/hop = 3
+    windows, so the explode is a constant-factor vectorized tile inside
+    ``map_batches`` (never data-dependent, never per-row Python),
+    followed by the same distributed grouped combine; edge windows that
+    start before the first event are kept (standard partial-window
+    semantics).  Int-cents discipline keeps the oracle sum exact."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        b = us // 3_600_000_000
+        vc = _cents(df["value"])
+        et = df["event_type"].to_numpy()
+        return pd.DataFrame({
+            "window_start_hour": np.concatenate([b, b - 1, b - 2]),
+            "event_type": np.tile(et, 3),
+            "value_c": np.tile(vc, 3),
+        })
+
+    prepped = ds.map_batches(prep, batch_format="pandas")
+    out = grouped_agg(prepped, ["window_start_hour", "event_type"],
+                      {"value_c": ["sum"]}, count_alias="n")
+    out = out.rename(columns={"value_c__sum": "sum_value_c"})
+    out["n"] = out["n"].astype("int64")
+    out["sum_value_c"] = out["sum_value_c"].astype("int64")
+    return out
+
+
 # Deterministic-sample knobs: Knuth multiplicative hash (2654435761 =
 # floor(2^32/phi), public-domain constant) mod 2^32 against a threshold.
 # Unlike random_shuffle sampling (engine-specific — `sample_events` is
@@ -2096,6 +2127,7 @@ QUERIES = {
     "decontaminate_docs": q_decontaminate_docs,
     "inactive_customers": q_inactive_customers,
     "hourly_events": q_hourly_events,
+    "hopping_events": q_hopping_events,
     "hash_sample_events": q_hash_sample_events,
     "cap_per_source_docs": q_cap_per_source_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
@@ -2518,6 +2550,17 @@ ORACLE_SQL = {
                CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
                  AS sum_value_c
         FROM events GROUP BY 1, 2
+    """,
+    "hopping_events": """
+        WITH e AS (
+            SELECT epoch_us(ts) // 3600000000 AS b, event_type,
+                   CAST(floor(value*100 + 0.5) AS BIGINT) AS vc
+            FROM events
+        )
+        SELECT e.b - off.o AS window_start_hour, event_type,
+               count(*) AS n, CAST(sum(vc) AS BIGINT) AS sum_value_c
+        FROM e CROSS JOIN (VALUES (0), (1), (2)) AS off(o)
+        GROUP BY 1, 2
     """,
     "hash_sample_events": f"""
         SELECT event_id, user_id,

@@ -37,6 +37,7 @@ NEW_QUERIES = [
     "shuffle_rank_docs",
     "quantile_filter_docs",
     "jsonl_token_count_docs",
+    "hopping_events",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -66,6 +67,7 @@ MIN_ROWS = {
     "shuffle_rank_docs": 500,
     "quantile_filter_docs": 300,
     "jsonl_token_count_docs": 500,
+    "hopping_events": 300,
 }
 
 
