@@ -1093,6 +1093,60 @@ def q_top_tokens_docs(sf_dir: str):
     return projected.sort(["n", "token"], descending=[True, False]).limit(20)
 
 
+def q_frequent_tokens_docs(sf_dir: str):
+    """Heavy hitters (all tokens with global count > N/512) WITHOUT a
+    vocabulary-sized shuffle — the sketch-then-rescue pattern: pass 1
+    keeps, per block, only tokens with block count > block_size/512
+    plus one block-total meta row (the Misra–Gries pigeonhole
+    guarantee: a token with global count > N/512 must exceed n_b/512 in
+    SOME block, so the union of per-block survivors is a provable
+    candidate SUPERSET; the streaming MG sketch is the constant-memory
+    variant — with the Arrow block already in heap the exact per-block
+    count is cheaper and gives the same superset).  The O(blocks × 512)
+    candidate table reaches the driver; pass 2 re-counts ONLY the
+    broadcast candidates exactly and applies the exact threshold —
+    so the final answer is exact, the oracle is plain GROUP BY/HAVING,
+    and the full vocabulary never shuffles (contrast
+    ``top_tokens_docs``, the fully-shuffled exact top-k)."""
+    k = 512
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def survivors(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(r"\S+").explode().dropna()
+        vc = toks.value_counts()
+        n_b = int(vc.sum())
+        keep = vc[vc > n_b / k]
+        # meta row: "" is unreachable as a \S+ token, carries the block size
+        return pd.DataFrame({
+            "token": np.concatenate([keep.index.astype(str), [""]]),
+            "cnt": np.concatenate([keep.to_numpy(dtype=np.int64), [n_b]]),
+        })
+
+    marks = ds.map_batches(survivors, batch_format="pandas",
+                           batch_size=2048).to_pandas()
+    total = int(marks.loc[marks["token"] == "", "cnt"].sum())
+    cand = np.unique(marks.loc[marks["token"] != "", "token"].to_numpy())
+    thr = total // k + 1  # count >= thr  <=>  count > total/k (exact)
+    ref = ray.put(np.sort(cand))
+
+    def recount(df: pd.DataFrame, ref=ref) -> pd.DataFrame:
+        cand_ = ray.get(ref)
+        toks = df["text"].str.findall(r"\S+").explode().dropna()
+        vc = toks[toks.isin(cand_)].value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "cnt": vc.to_numpy(dtype=np.int64)})
+
+    from hsearch_ray.stages.agg import grouped_agg_ds
+
+    exact = grouped_agg_ds(
+        ds.map_batches(recount, batch_format="pandas", batch_size=2048),
+        ["token"], {"cnt": ["sum"]},
+    ).to_pandas()
+    exact["n"] = exact["cnt__sum"].astype("int64")
+    out = exact.loc[exact["n"] >= thr, ["token", "n"]]
+    return out.reset_index(drop=True)
+
+
 def q_top_orders_by_segment(sf_dir: str):
     """Grouped top-k (the per-group limit operator): 3 priciest orders
     per market segment.  Per-block partial top-k (each block emits <= k
@@ -2128,6 +2182,7 @@ QUERIES = {
     "inactive_customers": q_inactive_customers,
     "hourly_events": q_hourly_events,
     "hopping_events": q_hopping_events,
+    "frequent_tokens_docs": q_frequent_tokens_docs,
     "hash_sample_events": q_hash_sample_events,
     "cap_per_source_docs": q_cap_per_source_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
@@ -2561,6 +2616,17 @@ ORACLE_SQL = {
                count(*) AS n, CAST(sum(vc) AS BIGINT) AS sum_value_c
         FROM e CROSS JOIN (VALUES (0), (1), (2)) AS off(o)
         GROUP BY 1, 2
+    """,
+    # exact heavy hitters: integer threshold total//512 + 1 in both engines
+    "frequent_tokens_docs": r"""
+        WITH tok AS (
+            SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+            FROM documents
+        ),
+        n AS (SELECT count(*) AS total FROM tok)
+        SELECT token, count(*) AS n FROM tok
+        GROUP BY token
+        HAVING count(*) >= (SELECT total // 512 FROM n) + 1
     """,
     "hash_sample_events": f"""
         SELECT event_id, user_id,

@@ -38,6 +38,7 @@ NEW_QUERIES = [
     "quantile_filter_docs",
     "jsonl_token_count_docs",
     "hopping_events",
+    "frequent_tokens_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -68,6 +69,7 @@ MIN_ROWS = {
     "quantile_filter_docs": 300,
     "jsonl_token_count_docs": 500,
     "hopping_events": 300,
+    "frequent_tokens_docs": 20,
 }
 
 
@@ -333,6 +335,51 @@ def test_pack_sequences_multiblock_offsets(ray_session, tmp_path):
     want = np.empty(did.size, dtype=np.int64)
     want[order] = np.arange(did.size)
     assert (ranks["rank"].to_numpy() == want).all()
+
+
+def test_frequent_tokens_superset_guarantee(ray_session, tmp_path):
+    """The per-block survivor filter must not lose a global heavy hitter
+    that is DILUTED across blocks (the case the Misra–Gries pigeonhole
+    covers): a token just over the global threshold, spread one-per-doc
+    across many blocks full of heavier local noise, must still appear in
+    the exact output — compared against a serial pandas ground truth."""
+    import collections
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from hsearch_ray.pipelines.queries import QUERIES
+
+    rng = np.random.default_rng(3)
+    docs = []
+    # 64 docs; each carries ONE 'rare_heavy' token plus ~90 local-noise
+    # tokens, so rare_heavy is never a within-block standout
+    for i in range(64):
+        noise = [f"noise{i}_{j}" for j in range(30) for _ in range(3)]
+        rng.shuffle(noise)
+        docs.append("rare_heavy " + " ".join(noise))
+    t = pa.table({"doc_id": pa.array(range(64), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    ddir = tmp_path / "documents.parquet"
+    ddir.mkdir()
+    for i in range(16):  # 16 shards -> many blocks of 4 docs
+        pq2.write_table(t.take(list(range(i * 4, i * 4 + 4))),
+                        ddir / f"part-{i}.parquet")
+
+    out = QUERIES["frequent_tokens_docs"](str(tmp_path))
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+
+    counts = collections.Counter(
+        tok for d in docs for tok in re.findall(r"\S+", d))
+    total = sum(counts.values())
+    thr = total // 512 + 1
+    want = {tok: c for tok, c in counts.items() if c >= thr}
+    assert "rare_heavy" in want  # the fixture really is a heavy hitter
+    got = dict(zip(out["token"], out["n"]))
+    assert got == want
 
 
 def test_jsonl_reader_validates(ray_session, tmp_path):
