@@ -2138,6 +2138,183 @@ def q_dup_ngram_docs(sf_dir: str):
     )
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix of the event stream (ordered-lag /
+    LAG-window pattern as a distributed operator): (prev_type,
+    next_type, n) counting how often each event type follows each other
+    type within the same user's (ts, event_id)-ordered timeline.  One
+    sorted-block scan with per-block partial counts; the final combine
+    is |types|^2 rows by construction (stages/events.transition_counts)."""
+    from hsearch_ray.stages.events import transition_counts
+
+    return transition_counts(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type"])
+    )
+
+
+def q_active_users_hourly(sf_dir: str):
+    """Per-hour DISTINCT user count — the distinct-in-group pattern a
+    corpus-telemetry pipeline needs (COUNT(DISTINCT ...) GROUP BY ...).
+    Plan: narrow projection to (hour_bucket, user_id), per-block
+    drop_duplicates partial, then the distributed grouped combine
+    collapses to one row per distinct pair WITHOUT the pair set ever
+    landing on the driver (grouped_agg_ds), and a second driver-sized
+    combine counts pairs per hour."""
+    from hsearch_ray.stages.agg import grouped_agg_ds
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame(
+            {"hour_bucket": us // 3_600_000_000,
+             "user_id": df["user_id"].to_numpy(dtype=np.int64)}
+        ).drop_duplicates()
+
+    distinct_pairs = grouped_agg_ds(
+        ds.map_batches(prep, batch_format="pandas", batch_size=65536),
+        ["hour_bucket", "user_id"], {}, count_alias="nr",
+    )
+    out = grouped_agg(distinct_pairs, ["hour_bucket"], {},
+                      count_alias="active_users")
+    out["hour_bucket"] = out["hour_bucket"].astype("int64")
+    out["active_users"] = out["active_users"].astype("int64")
+    return out
+
+
+# Q18-style HAVING threshold (int qty cents): per-order line-quantity
+# sums above this are "large-volume" orders (~1-2% of orders on the
+# synthetic tables, so the survivor set is broadcast-sized by
+# construction — the same selectivity argument TPC-H Q18 itself makes).
+_LARGE_ORDER_MIN_QTY_C = 25_000
+
+
+def q_large_orders(sf_dir: str):
+    """Large-volume orders (TPC-H Q18 shape): groupby-HAVING on the big
+    fact table, then a broadcast semi-join back to orders.  Plan: (1)
+    per-orderkey quantity partials summed by the distributed grouped
+    combine (the per-orderkey table never lands on the driver); (2) the
+    HAVING filter runs distributed, and only the few survivors — small
+    by the documented selectivity — collect, sort, and broadcast; (3)
+    one vectorized searchsorted probe per orders batch attaches the
+    total and drops non-survivors (no shuffle join for a 1%-selectivity
+    semi-join)."""
+    from hsearch_ray.stages.agg import grouped_agg_ds
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def _qty_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64),
+             "qty_c": _cents(df["l_quantity"])}
+        )
+
+    per_order = grouped_agg_ds(
+        li.map_batches(_qty_rows, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"], {"qty_c": ["sum"]},
+    )
+    big = per_order.filter(
+        expr=f"qty_c__sum > {_LARGE_ORDER_MIN_QTY_C}"
+    ).to_pandas()
+    keys = big["l_orderkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], big["qty_c__sum"].to_numpy(dtype=np.int64)[order]))
+
+    def _probe(df: pd.DataFrame) -> pd.DataFrame:
+        ks, qs = ray.get(ref)
+        ok_keys = df["o_orderkey"].to_numpy(dtype=np.int64)
+        if ks.size == 0:
+            hit = np.zeros(ok_keys.size, dtype=bool)
+            pos = np.zeros(ok_keys.size, dtype=np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(ks, ok_keys), ks.size - 1)
+            hit = ks[pos] == ok_keys
+        sub = df[hit]
+        return pd.DataFrame(
+            {"o_orderkey": sub["o_orderkey"].to_numpy(dtype=np.int64),
+             "o_custkey": sub["o_custkey"].to_numpy(dtype=np.int64),
+             "o_orderdate": sub["o_orderdate"].dt.strftime("%Y-%m-%d"),
+             "total_qty_c": qs[pos[hit]]}
+        )
+
+    return _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(_probe, batch_format="pandas", batch_size=65536)
+
+
+def q_keep_best_docs(sf_dir: str):
+    """Fuzzy-dedup keeper selection by quality (the disposition policy
+    CCNet/RefinedWeb-style pipelines apply after near-dup clustering):
+    within every flagship near-dup cluster keep the LONGEST doc
+    (max n_chars, ties to the smallest doc_id), not the arbitrary
+    min-id representative.  Demonstrates exact distributed argmax
+    WITHOUT key packing: (1) per-cluster max n_chars via the
+    distributed grouped combine, (2) filter members at the max via a
+    sharded kv-store probe, (3) per-cluster min doc_id among those,
+    (4) attach the keeper to every member through a second kv store —
+    no corpus-sized table ever lands on the driver.
+    Output: (doc_id, keeper_id, kept)."""
+    from hsearch_ray.stages.agg import grouped_agg_ds
+    from hsearch_ray.stages.lsh import _kv_lookup, build_kv_store
+
+    res = _dedup_result(sf_dir)
+    clusters = res.clusters  # (file_id, cluster_id), one row per doc
+
+    nchars_ref = ray.put(build_kv_store(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]),
+        "doc_id", "n_chars"))
+
+    def _attach_nchars(batch: pa.Table) -> pa.Table:
+        look = _kv_lookup(nchars_ref)
+        did = batch["file_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch, ok = look.lookup(did)
+        return pa.table({
+            "cluster_id": batch["cluster_id"].cast(pa.int64()),
+            "doc_id": pa.array(did, pa.int64()),
+            "n_chars": pa.array(np.where(ok, nch, 0), pa.int64()),
+        })
+
+    members = clusters.map_batches(
+        _attach_nchars, batch_format="pyarrow", batch_size=65536
+    ).materialize()
+    cmax = grouped_agg_ds(members, ["cluster_id"], {"n_chars": ["max"]})
+    cmax_ref = ray.put(build_kv_store(cmax, "cluster_id", "n_chars__max"))
+
+    def _at_max(batch: pa.Table) -> pa.Table:
+        look = _kv_lookup(cmax_ref)
+        cid = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        mx, ok = look.lookup(cid)
+        keep = ok & (nch == mx)
+        return pa.table({
+            "cluster_id": pa.array(cid[keep], pa.int64()),
+            "doc_id": batch["doc_id"].filter(pa.array(keep)),
+        })
+
+    keepers = grouped_agg_ds(
+        members.map_batches(_at_max, batch_format="pyarrow", batch_size=65536),
+        ["cluster_id"], {"doc_id": ["min"]},
+    )
+    keeper_ref = ray.put(build_kv_store(keepers, "cluster_id", "doc_id__min"))
+
+    def _disposition(batch: pa.Table) -> pa.Table:
+        look = _kv_lookup(keeper_ref)
+        cid = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        kid, ok = look.lookup(cid)
+        kid = np.where(ok, kid, did)
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "keeper_id": pa.array(kid, pa.int64()),
+            "kept": pa.array((did == kid).astype(np.int64), pa.int64()),
+        })
+
+    return members.map_batches(
+        _disposition, batch_format="pyarrow", batch_size=65536
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -2202,6 +2379,10 @@ QUERIES = {
     "quantile_filter_docs": q_quantile_filter_docs,
     "stopword_docs": q_stopword_docs,
     "bpe_token_count_docs": q_bpe_token_count_docs,
+    "event_transitions": q_event_transitions,
+    "active_users_hourly": q_active_users_hourly,
+    "large_orders": q_large_orders,
+    "keep_best_docs": q_keep_best_docs,
 }
 
 
@@ -2920,6 +3101,65 @@ ORACLE_SQL = {
                CAST(sum(per.cnt) AS BIGINT) AS dup_positions
         FROM per JOIN nd USING (g)
         GROUP BY per.doc_id
+    """,
+    "event_transitions": """
+        WITH seq AS (
+          SELECT event_type AS next_type,
+                 LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS prev_type
+          FROM events
+        )
+        SELECT prev_type, next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
+    "active_users_hourly": """
+        SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+               count(DISTINCT user_id) AS active_users
+        FROM events GROUP BY 1
+    """,
+    "large_orders": f"""
+        WITH s AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))
+                      AS BIGINT) AS total_qty_c
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT o_orderkey, o_custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               total_qty_c
+        FROM orders JOIN s ON o_orderkey = l_orderkey
+        WHERE total_qty_c > {_LARGE_ORDER_MIN_QTY_C}
+    """,
+    "keep_best_docs": f"""
+        WITH RECURSIVE {_shingle_pairs_cte(rep_only=False)},
+        e AS (
+          SELECT a, b FROM inter
+          JOIN sizes sa ON sa.doc_id = a
+          JOIN sizes sb ON sb.doc_id = b
+          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.7
+          UNION
+          SELECT rep_id AS a, doc_id AS b FROM rep WHERE doc_id <> rep_id
+        ),
+        sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM docs
+          UNION
+          SELECT s.u, reach.r FROM reach JOIN sym s ON s.v = reach.id
+        ),
+        comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        m AS (
+          SELECT comp.doc_id, comp.cluster_id, d.n_chars,
+                 FIRST_VALUE(comp.doc_id) OVER (
+                   PARTITION BY comp.cluster_id
+                   ORDER BY d.n_chars DESC, comp.doc_id
+                 ) AS keeper_id
+          FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+        )
+        SELECT doc_id, keeper_id,
+               CAST(doc_id = keeper_id AS BIGINT) AS kept
+        FROM m
     """,
     # no oracle (rows-only, approximate by design): semantic_dup_pairs
     # (k-means cluster-bounded candidates; recall pinned by pytest)

@@ -286,3 +286,134 @@ def asof_prior_event(events_ds, left_type: str = "purchase",
         .map_groups(_regroup, batch_format="pyarrow")
     )
     return interior.union(spill_rows)
+
+
+def _transition_pairs(user: np.ndarray, et: np.ndarray) -> pa.Table:
+    """Per-user consecutive (prev, next) event-type pairs for a
+    (user, ts, event_id)-sorted slice of COMPLETE users.  One vectorized
+    pass: a transition exists wherever two adjacent rows share a user."""
+    if user.size < 2:
+        return pa.table({"prev_type": pa.array([], pa.string()),
+                         "next_type": pa.array([], pa.string())})
+    same = user[1:] == user[:-1]
+    return pa.table({
+        "prev_type": pa.array(et[:-1][same], pa.string()),
+        "next_type": pa.array(et[1:][same], pa.string()),
+    })
+
+
+def transition_counts(events_ds):
+    """Markov transition matrix of the event stream: how often each
+    event_type is followed by each other type within the SAME user's
+    timeline — the ordered-lag (LAG ... OVER (PARTITION BY user ORDER BY
+    ts)) pattern as a distributed batch operator.
+
+    Physical plan is the module-standard sorted-block scan: one sort by
+    (user_id, ts_us, event_id), per-block vectorized adjacent-pair
+    extraction with PARTIAL counting (one row per (prev, next) per
+    block leaves the scan, not one per transition), block-edge users
+    spill raw (O(blocks) rows) to a per-user regroup.  The final
+    combine is driver-sized by construction: at most |types|^2 rows.
+
+    Output: (prev_type, next_type, n) — exactly DuckDB's LAG
+    formulation, so the oracle hash-matches."""
+    import pandas as pd
+
+    from hsearch_ray.stages.agg import grouped_agg
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "event_type": batch["event_type"].cast(pa.string()),
+        })
+
+    def _partial_counts(pairs: pa.Table) -> pa.Table:
+        df = pairs.to_pandas().groupby(
+            ["prev_type", "next_type"], as_index=False, sort=False
+        ).size()
+        return pa.table({
+            "prev_type": pa.array(df["prev_type"], pa.string()),
+            "next_type": pa.array(df["next_type"], pa.string()),
+            "n": pa.array(df["size"].to_numpy(dtype=I64), pa.int64()),
+        })
+
+    _SCAN_SCHEMA = pa.schema(
+        [("prev_type", pa.string()), ("next_type", pa.string()),
+         ("n", pa.int64()), ("user_id", pa.int64()), ("ts_us", pa.int64()),
+         ("event_id", pa.int64()), ("kind", pa.int8())]
+    )
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _SCAN_SCHEMA.empty_table()
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        edge = (user == user[0]) | (user == user[-1])
+        # adjacent pairs inside the interior region are complete (the
+        # boundary pair always crosses a user change, so none is lost)
+        i = ~edge
+        part = _partial_counts(_transition_pairs(user[i], et[i]))
+        spill = np.nonzero(edge)[0]
+        k = part.num_rows
+        return pa.table({
+            "prev_type": pa.array(
+                np.concatenate([part["prev_type"].to_numpy(), et[spill]]),
+                pa.string()),
+            "next_type": pa.array(
+                np.concatenate([part["next_type"].to_numpy(),
+                                np.full(spill.size, "", object)]),
+                pa.string()),
+            "n": pa.array(
+                np.concatenate([part["n"].to_numpy(), np.zeros(spill.size, I64)]),
+                pa.int64()),
+            "user_id": pa.array(
+                np.concatenate([np.zeros(k, I64), user[spill]]), pa.int64()),
+            "ts_us": pa.array(
+                np.concatenate([np.zeros(k, I64), ts[spill]]), pa.int64()),
+            "event_id": pa.array(
+                np.concatenate([np.zeros(k, I64), eid[spill]]), pa.int64()),
+            "kind": pa.array(
+                np.concatenate([np.zeros(k, np.int8),
+                                np.ones(spill.size, np.int8)]), pa.int8()),
+        })
+
+    scanned = (
+        events_ds.map_batches(_prep, batch_format="pyarrow")
+        .sort(["user_id", "ts_us", "event_id"])
+        .map_batches(_scan, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _narrow(t: pa.Table) -> pa.Table:
+        return pa.table({"prev_type": t["prev_type"].cast(pa.string()),
+                         "next_type": t["next_type"].cast(pa.string()),
+                         "n": t["n"].cast(pa.int64())})
+
+    interior = scanned.filter(expr="kind == 0").map_batches(
+        _narrow, batch_format="pyarrow")
+
+    def _regroup(group: pa.Table) -> pa.Table:
+        # one edge user's raw rows, re-sorted; transitions complete here
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        user = group["user_id"].to_numpy(zero_copy_only=False)[order]
+        et = group["prev_type"].to_numpy(zero_copy_only=False)[order]
+        return _partial_counts(_transition_pairs(user, et))
+
+    spill_counts = (
+        scanned.filter(expr="kind == 1")
+        .groupby("user_id")
+        .map_groups(_regroup, batch_format="pyarrow")
+        .map_batches(_narrow, batch_format="pyarrow")
+    )
+    out = grouped_agg(interior.union(spill_counts),
+                      ["prev_type", "next_type"], {"n": ["sum"]})
+    out = out.rename(columns={"n__sum": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out

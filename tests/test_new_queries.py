@@ -39,6 +39,10 @@ NEW_QUERIES = [
     "jsonl_token_count_docs",
     "hopping_events",
     "frequent_tokens_docs",
+    "event_transitions",
+    "active_users_hourly",
+    "large_orders",
+    "keep_best_docs",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -70,6 +74,10 @@ MIN_ROWS = {
     "jsonl_token_count_docs": 500,
     "hopping_events": 300,
     "frequent_tokens_docs": 20,
+    "event_transitions": 20,
+    "active_users_hourly": 400,
+    "large_orders": 20,
+    "keep_best_docs": 500,
 }
 
 
@@ -420,3 +428,70 @@ def test_repetition_flag_discriminates(ray_session):
     assert 0 < n < len(df)
     assert (df["n_dup_grams"] >= 0).all()
     assert (df["n_dup_grams"] < df["n_grams"]).all()
+
+
+def test_transition_counts_spill_path(ray_session):
+    """The sorted-block scan must count transitions identically no
+    matter how users land in blocks: a many-block repartition forces
+    every user onto a block edge (the kind=1 spill/regroup path) and
+    the result must equal the single-block ground truth."""
+    import numpy as np
+    import ray
+
+    from hsearch_ray.stages.events import transition_counts
+
+    rng = np.random.default_rng(7)
+    n, users, types = 3000, 12, list("abcde")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, users, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.integers(0, 10**6, n), unit="s"
+        ).astype("datetime64[us]"),
+        "event_type": rng.choice(types, n),
+    })
+    # pandas ground truth: LAG over (user, ts, event_id) order
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    same = s["user_id"].to_numpy()[1:] == s["user_id"].to_numpy()[:-1]
+    truth = (
+        pd.DataFrame({"prev_type": s["event_type"].to_numpy()[:-1][same],
+                      "next_type": s["event_type"].to_numpy()[1:][same]})
+        .groupby(["prev_type", "next_type"], as_index=False).size()
+        .rename(columns={"size": "n"})
+    )
+    for nblocks in (1, 16):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = transition_counts(ds).sort_values(
+            ["prev_type", "next_type"]).reset_index(drop=True)
+        expect = truth.sort_values(
+            ["prev_type", "next_type"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out, expect.astype({"n": "int64"}), check_like=True)
+
+
+def test_keep_best_docs_invariants(ray_session):
+    """Policy invariants beyond oracle parity: exactly one keeper per
+    cluster, the keeper has the cluster-max n_chars (ties to min
+    doc_id), and at least one keeper differs from the min-id
+    representative (the policy is not vacuously the old one)."""
+    from hsearch_ray.pipelines.queries import QUERIES
+
+    disp = QUERIES["keep_best_docs"](SF).to_pandas()
+    clusters = QUERIES["near_dup_clusters_docs"](SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    m = disp.merge(clusters, on="doc_id").merge(docs, on="doc_id")
+    per = m.groupby("cluster_id")
+    # one keeper per cluster, and it is a member of the cluster
+    assert (per["kept"].sum() == 1).all()
+    assert (m[m["kept"] == 1]["keeper_id"]
+            == m[m["kept"] == 1]["doc_id"]).all()
+    # keeper n_chars == cluster max; ties resolve to the min doc_id
+    mx = per["n_chars"].transform("max")
+    keepers = m[m["kept"] == 1].set_index("cluster_id")
+    at_max = m[m["n_chars"] == mx].groupby("cluster_id")["doc_id"].min()
+    assert (keepers["doc_id"] == at_max.loc[keepers.index]).all()
+    # the quality policy must differ from min-id representative somewhere
+    rep = per["doc_id"].transform("min")
+    assert (m[m["kept"] == 1]["doc_id"].to_numpy()
+            != rep[m["kept"] == 1].to_numpy()).any()
