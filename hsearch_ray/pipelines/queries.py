@@ -2315,6 +2315,48 @@ def q_keep_best_docs(sf_dir: str):
     )
 
 
+def q_clicks_before_purchase(sf_dir: str):
+    """Time-band self-join: every purchase event with the count of the
+    same user's clicks in the PRECEDING hour (ts in [t-1h, t)) — the
+    interval-join feature a clickstream pipeline derives, expressed as
+    one sorted-block scan whose kernel is two vectorized merge-rank
+    (lexicographic-searchsorted) passes; no per-pair rows ever
+    materialize (stages/events.windowed_prior_count)."""
+    from hsearch_ray.stages.events import windowed_prior_count
+
+    return windowed_prior_count(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type"]),
+        left_type="purchase", right_type="click", window_sec=3600,
+    )
+
+
+def q_lang_source_rollup(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP shape): doc count + char
+    sum per (lang, source), per-lang subtotals, and a grand total, with
+    'ALL' as the rolled-up key.  The heavy pass is one distributed
+    partial aggregation at the finest grain; the coarser levels derive
+    from the (|langs| x |sources|)-sized base on the driver — pure
+    arithmetic on an already-tiny table at any corpus scale."""
+    base = grouped_agg(
+        _read(sf_dir, "documents", columns=["lang", "source", "n_chars"]),
+        ["lang", "source"], {"n_chars": ["sum"]}, count_alias="n_docs",
+    )
+    base = base.rename(columns={"n_chars__sum": "sum_chars"})
+    by_lang = base.groupby("lang", as_index=False)[["n_docs", "sum_chars"]].sum()
+    by_lang["source"] = "ALL"
+    total = pd.DataFrame(
+        {"lang": ["ALL"], "source": ["ALL"],
+         "n_docs": [base["n_docs"].sum()], "sum_chars": [base["sum_chars"].sum()]}
+    )
+    out = pd.concat([base, by_lang, total], ignore_index=True)[
+        ["lang", "source", "n_docs", "sum_chars"]
+    ]
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return out
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -2383,6 +2425,8 @@ QUERIES = {
     "active_users_hourly": q_active_users_hourly,
     "large_orders": q_large_orders,
     "keep_best_docs": q_keep_best_docs,
+    "clicks_before_purchase": q_clicks_before_purchase,
+    "lang_source_rollup": q_lang_source_rollup,
 }
 
 
@@ -3160,6 +3204,23 @@ ORACLE_SQL = {
         SELECT doc_id, keeper_id,
                CAST(doc_id = keeper_id AS BIGINT) AS kept
         FROM m
+    """,
+    "clicks_before_purchase": """
+        SELECT p.event_id,
+               count(c.event_id) AS n_prior
+        FROM events p LEFT JOIN events c
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        WHERE p.event_type = 'purchase'
+        GROUP BY p.event_id
+    """,
+    "lang_source_rollup": """
+        SELECT coalesce(lang, 'ALL') AS lang,
+               coalesce(source, 'ALL') AS source,
+               count(n_chars) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY ROLLUP (lang, source)
     """,
     # no oracle (rows-only, approximate by design): semantic_dup_pairs
     # (k-means cluster-bounded candidates; recall pinned by pytest)

@@ -417,3 +417,146 @@ def transition_counts(events_ds):
     out = out.rename(columns={"n__sum": "n"})
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def _merge_insertion(ru: np.ndarray, rts: np.ndarray,
+                     pu: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """Vectorized insertion indices of probe points (pu, pts) into the
+    (user, ts)-lex-sorted right arrays, probes landing BEFORE equal
+    right rows (i.e. searchsorted side='left' under the two-level key).
+
+    NumPy's searchsorted has no lexicographic comparator, so this uses
+    the merge-rank trick: lexsort rights and probes together with a
+    tie-break flag that orders probes first; a probe's insertion index
+    is then its merged position minus its rank among the probes.
+    REQUIRES probes already sorted by (user, ts) — true for slices of a
+    (user, ts, event_id)-sorted block."""
+    m, k = ru.size, pu.size
+    if k == 0:
+        return np.empty(0, I64)
+    if m == 0:
+        return np.zeros(k, I64)
+    flag = np.concatenate([np.ones(m, np.int8), np.zeros(k, np.int8)])
+    u = np.concatenate([ru, pu])
+    t = np.concatenate([rts, pts])
+    order = np.lexsort((flag, t, u))
+    pos = np.empty(m + k, I64)
+    pos[order] = np.arange(m + k, dtype=I64)
+    return pos[m:] - np.arange(k, dtype=I64)
+
+
+def _window_count_rows(user: np.ndarray, ts: np.ndarray, eid: np.ndarray,
+                       is_left: np.ndarray, is_right: np.ndarray,
+                       window_us: int) -> pa.Table:
+    """For every left row of a (user, ts, event_id)-sorted slice of
+    COMPLETE users: the count of same-user right rows with
+    ts in [left_ts - window_us, left_ts).  Two merge-rank passes."""
+    li = np.nonzero(is_left)[0]
+    if li.size == 0:
+        return pa.table({"event_id": pa.array([], pa.int64()),
+                         "n_prior": pa.array([], pa.int64())})
+    ru = user[is_right]
+    rts = ts[is_right]
+    lu = user[li]
+    lts = ts[li]
+    lo = _merge_insertion(ru, rts, lu, lts - window_us)
+    hi = _merge_insertion(ru, rts, lu, lts)
+    return pa.table({
+        "event_id": pa.array(eid[li], pa.int64()),
+        "n_prior": pa.array(hi - lo, pa.int64()),
+    })
+
+
+def windowed_prior_count(events_ds, left_type: str = "purchase",
+                         right_type: str = "click",
+                         window_sec: int = 3600):
+    """Band (interval) join: every ``left_type`` event with the COUNT of
+    the same user's ``right_type`` events in the preceding
+    ``window_sec`` seconds — the time-range self-join (ts in
+    [t - w, t)) a feature/attribution pipeline runs, as a distributed
+    batch operator (zero rows shipped per matched pair: only counts).
+
+    Physical plan is the module-standard sorted-block scan; the
+    per-block kernel is two vectorized merge-rank passes (lexsort-based
+    lexicographic searchsorted — see _merge_insertion), block-edge
+    users spill raw (O(blocks) rows) to a per-user regroup.
+    Output: (event_id, n_prior)."""
+    window_us = int(window_sec) * 1_000_000
+    prepped = events_ds.map_batches(
+        _prep_events,
+        fn_kwargs={"left_type": left_type, "right_type": right_type},
+        batch_format="pyarrow",
+    )
+
+    _SCAN_SCHEMA = pa.schema(
+        [("event_id", pa.int64()), ("n_prior", pa.int64()),
+         ("user_id", pa.int64()), ("ts_us", pa.int64()),
+         ("is_left", pa.bool_()), ("is_right", pa.bool_()),
+         ("kind", pa.int8())]
+    )
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _SCAN_SCHEMA.empty_table()
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        il = batch["is_left"].to_numpy(zero_copy_only=False)
+        ir = batch["is_right"].to_numpy(zero_copy_only=False)
+        edge = (user == user[0]) | (user == user[-1])
+        i = ~edge
+        interior = _window_count_rows(user[i], ts[i], eid[i], il[i], ir[i],
+                                      window_us)
+        spill = np.nonzero(edge)[0]
+        k = interior.num_rows
+        return pa.table({
+            "event_id": pa.array(
+                np.concatenate([interior["event_id"].to_numpy(), eid[spill]]),
+                pa.int64()),
+            "n_prior": pa.array(
+                np.concatenate([interior["n_prior"].to_numpy(),
+                                np.zeros(spill.size, I64)]), pa.int64()),
+            "user_id": pa.array(
+                np.concatenate([np.zeros(k, I64), user[spill]]), pa.int64()),
+            "ts_us": pa.array(
+                np.concatenate([np.zeros(k, I64), ts[spill]]), pa.int64()),
+            "is_left": pa.array(
+                np.concatenate([np.zeros(k, bool), il[spill]])),
+            "is_right": pa.array(
+                np.concatenate([np.zeros(k, bool), ir[spill]])),
+            "kind": pa.array(
+                np.concatenate([np.zeros(k, np.int8),
+                                np.ones(spill.size, np.int8)]), pa.int8()),
+        })
+
+    scanned = (
+        prepped.sort(["user_id", "ts_us", "event_id"])
+        .map_batches(_scan, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _narrow(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"].cast(pa.int64()),
+                         "n_prior": t["n_prior"].cast(pa.int64())})
+
+    interior = scanned.filter(expr="kind == 0").map_batches(
+        _narrow, batch_format="pyarrow")
+
+    def _regroup(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        user = group["user_id"].to_numpy(zero_copy_only=False)[order]
+        il = group["is_left"].to_numpy(zero_copy_only=False)[order]
+        ir = group["is_right"].to_numpy(zero_copy_only=False)[order]
+        return _window_count_rows(user, ts[order], eid[order], il, ir,
+                                  window_us)
+
+    spill_rows = (
+        scanned.filter(expr="kind == 1")
+        .groupby("user_id")
+        .map_groups(_regroup, batch_format="pyarrow")
+        .map_batches(_narrow, batch_format="pyarrow")
+    )
+    return interior.union(spill_rows)

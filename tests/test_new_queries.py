@@ -43,6 +43,8 @@ NEW_QUERIES = [
     "active_users_hourly",
     "large_orders",
     "keep_best_docs",
+    "clicks_before_purchase",
+    "lang_source_rollup",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -78,6 +80,8 @@ MIN_ROWS = {
     "active_users_hourly": 400,
     "large_orders": 20,
     "keep_best_docs": 500,
+    "clicks_before_purchase": 150,
+    "lang_source_rollup": 50,
 }
 
 
@@ -495,3 +499,40 @@ def test_keep_best_docs_invariants(ray_session):
     rep = per["doc_id"].transform("min")
     assert (m[m["kept"] == 1]["doc_id"].to_numpy()
             != rep[m["kept"] == 1].to_numpy()).any()
+
+
+def test_windowed_prior_count_spill_and_kernel(ray_session):
+    """The band-join merge-rank kernel must (a) be independent of block
+    layout (16-block repartition forces every user through the spill
+    regroup) and (b) match a brute-force O(n^2) pandas ground truth,
+    including window-boundary ties (ts == t - w included, ts == t
+    excluded)."""
+    import numpy as np
+    import ray
+
+    from hsearch_ray.stages.events import windowed_prior_count
+
+    rng = np.random.default_rng(13)
+    n, users, w = 2500, 10, 3600
+    # coarse second grid -> plenty of exact boundary ties
+    secs = rng.integers(0, 40_000, n) // 600 * 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, users, n).astype(np.int64),
+        "ts": pd.to_datetime(secs, unit="s").astype("datetime64[us]"),
+        "event_type": rng.choice(["purchase", "click", "view"], n,
+                                 p=[0.2, 0.6, 0.2]),
+    })
+    us = df["ts"].astype("int64").to_numpy()  # epoch MICROseconds
+    truth = {}
+    for i in np.nonzero((df["event_type"] == "purchase").to_numpy())[0]:
+        t = int(us[i])
+        m = ((df["user_id"] == df["user_id"].iloc[i])
+             & (df["event_type"] == "click")
+             & (us >= t - w * 10**6) & (us < t))
+        truth[int(df["event_id"].iloc[i])] = int(m.sum())
+    for nblocks in (1, 16):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = windowed_prior_count(ds, "purchase", "click", w).to_pandas()
+        got = dict(zip(out["event_id"].astype(int), out["n_prior"].astype(int)))
+        assert got == truth, f"nblocks={nblocks}"
