@@ -2357,6 +2357,59 @@ def q_lang_source_rollup(sf_dir: str):
     return out
 
 
+def q_label_centroids(sf_dir: str):
+    """Grouped dense-vector aggregate (the SemDeDup/IVF centroid
+    pattern): per-label element-wise sums over the embedding column,
+    plus member counts.  Per block: the list<float> column is viewed
+    zero-copy via offsets/values buffers, converted to int
+    micro-units PER ELEMENT (float discipline — identical IEEE ops in
+    NumPy and DuckDB), reshaped (n, d) and scatter-summed per label;
+    cross-block combine is the distributed grouped sum over the tiny
+    (labels x dims) key space.  Output: (label, dim, sum_milli,
+    n_vecs) — the consumer divides for the centroid, keeping the
+    engine output exactly integer."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("label", pa.int64()), ("dim", pa.int64()),
+             ("sum_milli", pa.int64()), ("n_vecs", pa.int64())]
+        ).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        col = batch["embedding"].combine_chunks()
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        d = int(lens[0]) if lens.size else 0
+        if d == 0 or not (lens == d).all():
+            raise ValueError("embedding column must be fixed-width non-empty")
+        vals = col.values.to_numpy(zero_copy_only=False)
+        flat = vals[off[0]:off[-1]].astype(np.float64)
+        milli = np.floor(flat * 1e6 + 0.5).astype(np.int64).reshape(-1, d)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((uniq.size, d), np.int64)
+        np.add.at(sums, inv, milli)
+        cnt = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), uniq.size),
+                            pa.int64()),
+            "sum_milli": pa.array(sums.ravel(), pa.int64()),
+            "n_vecs": pa.array(np.repeat(cnt, d), pa.int64()),
+        })
+
+    out = grouped_agg(
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=4096),
+        ["label", "dim"], {"sum_milli": ["sum"], "n_vecs": ["sum"]},
+    )
+    out = out.rename(columns={"sum_milli__sum": "sum_milli",
+                              "n_vecs__sum": "n_vecs"})
+    for c in ("label", "dim", "sum_milli", "n_vecs"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -2427,6 +2480,7 @@ QUERIES = {
     "keep_best_docs": q_keep_best_docs,
     "clicks_before_purchase": q_clicks_before_purchase,
     "lang_source_rollup": q_lang_source_rollup,
+    "label_centroids": q_label_centroids,
 }
 
 
@@ -3221,6 +3275,18 @@ ORACLE_SQL = {
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents
         GROUP BY ROLLUP (lang, source)
+    """,
+    # the driver testdata embeds at a fixed 64 dims at every sf level;
+    # the Ray side validates the width instead of assuming it
+    "label_centroids": """
+        SELECT CAST(label AS BIGINT) AS label, d.dim,
+               CAST(sum(CAST(floor(CAST(embedding[d.dim + 1] AS DOUBLE)
+                                   * 1000000 + 0.5)
+                             AS BIGINT)) AS BIGINT) AS sum_milli,
+               count(*) AS n_vecs
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+        GROUP BY 1, 2
     """,
     # no oracle (rows-only, approximate by design): semantic_dup_pairs
     # (k-means cluster-bounded candidates; recall pinned by pytest)

@@ -45,6 +45,7 @@ NEW_QUERIES = [
     "keep_best_docs",
     "clicks_before_purchase",
     "lang_source_rollup",
+    "label_centroids",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -82,6 +83,7 @@ MIN_ROWS = {
     "keep_best_docs": 500,
     "clicks_before_purchase": 150,
     "lang_source_rollup": 50,
+    "label_centroids": 640,
 }
 
 
