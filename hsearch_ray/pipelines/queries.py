@@ -2410,6 +2410,42 @@ def q_label_centroids(sf_dir: str):
     return out
 
 
+_HLL_P = 12  # 4096 registers -> ~1.6% standard error
+
+
+def q_approx_distinct_tokens(sf_dir: str):
+    """Approximate distinct-token count via a mergeable HyperLogLog
+    sketch (stages/sketches.py) — the shuffle-free alternative to the
+    exact vocabulary path (`top_tokens_docs`): each block contributes
+    ONE 2^p-byte register row, the driver max-merges them, and no token
+    ever leaves its block.  Deterministic (polars utf8 hash), so the
+    driver rows-only check is stable; accuracy vs the exact distinct
+    count is pinned by pytest (no oracle — approximate by design).
+    Output: one row (approx_distinct, n_registers)."""
+    import polars as pl
+
+    from hsearch_ray.stages.sketches import hll_estimate, hll_merge, hll_partial
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(r"\S+").explode().dropna()
+        h = pl.from_pandas(toks.astype(str)).hash(seed=7).to_numpy()
+        regs = hll_partial(h, p=_HLL_P)
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    rows = ds.map_batches(_partial, batch_format="pandas",
+                          batch_size=2048).to_pandas()
+    stacked = np.stack(
+        [np.frombuffer(b, dtype=np.uint8) for b in rows["regs"]]
+    )
+    merged = hll_merge(stacked)
+    return pd.DataFrame(
+        {"approx_distinct": pd.Series([hll_estimate(merged)], dtype="int64"),
+         "n_registers": pd.Series([merged.size], dtype="int64")}
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -2481,6 +2517,7 @@ QUERIES = {
     "clicks_before_purchase": q_clicks_before_purchase,
     "lang_source_rollup": q_lang_source_rollup,
     "label_centroids": q_label_centroids,
+    "approx_distinct_tokens": q_approx_distinct_tokens,
 }
 
 

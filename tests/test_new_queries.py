@@ -538,3 +538,36 @@ def test_windowed_prior_count_spill_and_kernel(ray_session):
         out = windowed_prior_count(ds, "purchase", "click", w).to_pandas()
         got = dict(zip(out["event_id"].astype(int), out["n_prior"].astype(int)))
         assert got == truth, f"nblocks={nblocks}"
+
+
+def test_hll_sketch_accuracy_and_mergeability(ray_session):
+    """The HLL distinct-count sketch must (a) land within 5% of the
+    exact distinct token count (4096 registers -> ~1.6% standard
+    error), (b) produce IDENTICAL merged registers under any block
+    partitioning (the mergeable-aggregate law), and (c) be exactly
+    deterministic run to run."""
+    import numpy as np
+    import polars as pl
+
+    from hsearch_ray.pipelines.queries import QUERIES, _HLL_P
+    from hsearch_ray.stages.sketches import (hll_estimate, hll_merge,
+                                             hll_partial)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    toks = docs["text"].str.findall(r"\S+").explode().dropna().astype(str)
+    exact = toks.nunique()
+
+    out1 = QUERIES["approx_distinct_tokens"](SF)
+    out2 = QUERIES["approx_distinct_tokens"](SF)
+    est = int(out1["approx_distinct"].iloc[0])
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    pd.testing.assert_frame_equal(out1, out2)  # deterministic
+
+    # merge law: registers from any partitioning merge identically
+    h = pl.from_pandas(toks).hash(seed=7).to_numpy()
+    whole = hll_partial(h, p=_HLL_P)
+    for nchunks in (3, 17):
+        parts = np.stack([hll_partial(c, p=_HLL_P)
+                          for c in np.array_split(h, nchunks)])
+        assert (hll_merge(parts) == whole).all()
+    assert hll_estimate(whole) == est
