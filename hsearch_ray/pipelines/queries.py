@@ -2446,6 +2446,34 @@ def q_approx_distinct_tokens(sf_dir: str):
     )
 
 
+def q_urgent_orders_by_month(sf_dir: str):
+    """Predicate pushdown at the READ (the prune-at-the-read rule made
+    visible): the '1-URGENT' filter ships into read_parquet as an Arrow
+    dataset expression, so non-matching row groups are skipped at the
+    storage layer and only 3 narrow columns ever enter the object
+    store.  Downstream is one tiny month-bucket combine."""
+    import pyarrow.dataset as pds
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"],
+        filter=(pds.field("o_orderpriority") == "1-URGENT"),
+    )
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"month": df["o_orderdate"].dt.strftime("%Y-%m"),
+             "price_c": _cents(df["o_totalprice"])}
+        )
+
+    out = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                      ["month"], {"price_c": ["sum"]}, count_alias="n_orders")
+    out = out.rename(columns={"price_c__sum": "sum_price_c"})
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_price_c"] = out["sum_price_c"].astype("int64")
+    return out
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -2518,6 +2546,7 @@ QUERIES = {
     "lang_source_rollup": q_lang_source_rollup,
     "label_centroids": q_label_centroids,
     "approx_distinct_tokens": q_approx_distinct_tokens,
+    "urgent_orders_by_month": q_urgent_orders_by_month,
 }
 
 
@@ -3324,6 +3353,14 @@ ORACLE_SQL = {
         FROM embeddings
         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
         GROUP BY 1, 2
+    """,
+    "urgent_orders_by_month": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_c
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY 1
     """,
     # no oracle (rows-only, approximate by design): semantic_dup_pairs
     # (k-means cluster-bounded candidates; recall pinned by pytest)

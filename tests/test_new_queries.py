@@ -46,6 +46,7 @@ NEW_QUERIES = [
     "clicks_before_purchase",
     "lang_source_rollup",
     "label_centroids",
+    "urgent_orders_by_month",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -84,6 +85,7 @@ MIN_ROWS = {
     "clicks_before_purchase": 150,
     "lang_source_rollup": 50,
     "label_centroids": 640,
+    "urgent_orders_by_month": 70,
 }
 
 
