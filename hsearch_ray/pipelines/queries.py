@@ -2474,6 +2474,50 @@ def q_urgent_orders_by_month(sf_dir: str):
     return out
 
 
+def q_events_profile(sf_dir: str):
+    """Table profiling (the ANALYZE-statistics op a pipeline runs before
+    planning): per numeric column of events — row count, null count,
+    min and max — in ONE distributed pass that emits a single partial
+    row per (block, column); the driver combine is |columns| rows.
+    Timestamps profile as epoch-us, floats as int cents (the repo float
+    discipline), so every output cell is an exact int64."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "event_id": df["event_id"].to_numpy(dtype=np.int64),
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64").to_numpy(),
+            "value_c": _cents(df["value"]),
+        }
+        nulls = {
+            "event_id": int(df["event_id"].isna().sum()),
+            "user_id": int(df["user_id"].isna().sum()),
+            "ts_us": int(df["ts"].isna().sum()),
+            "value_c": int(df["value"].isna().sum()),
+        }
+        rows = [
+            {"col": name, "n_rows": int(len(df)), "n_nulls": nulls[name],
+             "min_v": int(v.min()), "max_v": int(v.max())}
+            for name, v in cols.items() if v.size
+        ]
+        return pd.DataFrame(rows)
+
+    out = grouped_agg(
+        ds.map_batches(_partial, batch_format="pandas", batch_size=65536),
+        ["col"],
+        {"n_rows": ["sum"], "n_nulls": ["sum"], "min_v": ["min"],
+         "max_v": ["max"]},
+    )
+    out = out.rename(columns={"n_rows__sum": "n_rows",
+                              "n_nulls__sum": "n_nulls",
+                              "min_v__min": "min_v", "max_v__max": "max_v"})
+    for c in ("n_rows", "n_nulls", "min_v", "max_v"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -2547,6 +2591,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "urgent_orders_by_month": q_urgent_orders_by_month,
+    "events_profile": q_events_profile,
 }
 
 
@@ -3361,6 +3406,28 @@ ORACLE_SQL = {
                     AS BIGINT) AS sum_price_c
         FROM orders WHERE o_orderpriority = '1-URGENT'
         GROUP BY 1
+    """,
+    "events_profile": """
+        WITH v AS (
+          SELECT 'event_id' AS col, count(*) AS n_rows,
+                 count(*) - count(event_id) AS n_nulls,
+                 min(event_id) AS min_v, max(event_id) AS max_v
+          FROM events
+          UNION ALL
+          SELECT 'user_id', count(*), count(*) - count(user_id),
+                 min(user_id), max(user_id) FROM events
+          UNION ALL
+          SELECT 'ts_us', count(*), count(*) - count(ts),
+                 min(epoch_us(ts)), max(epoch_us(ts)) FROM events
+          UNION ALL
+          SELECT 'value_c', count(*), count(*) - count(value),
+                 CAST(min(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT),
+                 CAST(max(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
+          FROM events
+        )
+        SELECT col, n_rows, n_nulls,
+               CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v
+        FROM v
     """,
     # no oracle (rows-only, approximate by design): semantic_dup_pairs
     # (k-means cluster-bounded candidates; recall pinned by pytest)

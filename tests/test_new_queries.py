@@ -47,6 +47,7 @@ NEW_QUERIES = [
     "lang_source_rollup",
     "label_centroids",
     "urgent_orders_by_month",
+    "events_profile",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -86,6 +87,7 @@ MIN_ROWS = {
     "lang_source_rollup": 50,
     "label_centroids": 640,
     "urgent_orders_by_month": 70,
+    "events_profile": 4,
 }
 
 
