@@ -2518,6 +2518,21 @@ def q_events_profile(sf_dir: str):
     return out
 
 
+def q_funnel_events(sf_dir: str):
+    """Sequential-pattern (funnel) aggregate: users who viewed, then
+    clicked STRICTLY after their first view, then purchased strictly
+    after that click — one sorted-block scan whose per-block kernel is
+    a masked minimum.reduceat (first view per user run) plus two
+    merge-rank first-right-after-t passes; the combine is one 4-int row
+    per block (stages/events.funnel_counts)."""
+    from hsearch_ray.stages.events import funnel_counts
+
+    return funnel_counts(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "event_type"])
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -2592,6 +2607,7 @@ QUERIES = {
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "urgent_orders_by_month": q_urgent_orders_by_month,
     "events_profile": q_events_profile,
+    "funnel_events": q_funnel_events,
 }
 
 
@@ -3428,6 +3444,28 @@ ORACLE_SQL = {
         SELECT col, n_rows, n_nulls,
                CAST(min_v AS BIGINT) AS min_v, CAST(max_v AS BIGINT) AS max_v
         FROM v
+    """,
+    "funnel_events": """
+        WITH v AS (
+          SELECT user_id, min(ts) AS vt FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, min(e.ts) AS ct
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.vt
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, min(e.ts) AS pt
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.ct
+          GROUP BY e.user_id
+        )
+        SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+               (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked,
+               (SELECT count(*) FROM p) AS n_purchased
     """,
     # no oracle (rows-only, approximate by design): semantic_dup_pairs
     # (k-means cluster-bounded candidates; recall pinned by pytest)

@@ -560,3 +560,148 @@ def windowed_prior_count(events_ds, left_type: str = "purchase",
         .map_batches(_narrow, batch_format="pyarrow")
     )
     return interior.union(spill_rows)
+
+
+def _first_after(ru: np.ndarray, rts: np.ndarray,
+                 pu: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """For each probe (user u, time t): the ts of the user's first
+    right row STRICTLY after t, or -1.  Rights sorted by (user, ts);
+    probes sorted by user (at most one probe per user).  Strictness via
+    probing t+1 on integer timestamps."""
+    out = np.full(pu.size, -1, I64)
+    if ru.size == 0 or pu.size == 0:
+        return out
+    ins = _merge_insertion(ru, rts, pu, pts + 1)
+    ok = ins < ru.size
+    ok[ok] &= ru[ins[ok]] == pu[ok]
+    out[ok] = rts[ins[ok]]
+    return out
+
+
+def _funnel_partial(user: np.ndarray, ts: np.ndarray,
+                    stage: np.ndarray) -> np.ndarray:
+    """(n_users, n_viewed, n_clicked, n_purchased) over a
+    (user, ts)-sorted slice of COMPLETE users.  Fully vectorized:
+    per-run first-view via masked minimum.reduceat, then two
+    first-right-after-t merge-rank passes (click after first view,
+    purchase after that click)."""
+    if user.size == 0:
+        return np.zeros(4, I64)
+    new = np.ones(user.size, dtype=bool)
+    new[1:] = user[1:] != user[:-1]
+    starts = np.nonzero(new)[0]
+    run_user = user[starts]
+    big = np.iinfo(np.int64).max
+    vts = np.where(stage == 0, ts, big)
+    fv = np.minimum.reduceat(vts, starts)
+    has_v = fv < big
+    cu, cts = user[stage == 1], ts[stage == 1]
+    fc = _first_after(cu, cts, run_user[has_v], fv[has_v])
+    has_c = fc >= 0
+    pu_, pts_ = user[stage == 2], ts[stage == 2]
+    fp = _first_after(pu_, pts_, run_user[has_v][has_c], fc[has_c])
+    return np.array([run_user.size, int(has_v.sum()), int(has_c.sum()),
+                     int((fp >= 0).sum())], I64)
+
+
+def funnel_counts(events_ds, stages=("view", "click", "purchase")):
+    """Funnel analysis: how many users performed stage 1, then stage 2
+    STRICTLY after their first stage-1 event, then stage 3 strictly
+    after that stage-2 event — the sequential-pattern aggregate an
+    event-analytics pipeline runs, as one sorted-block scan (per-block
+    vectorized kernel + edge-user spill regroup; the combine is ONE
+    4-int row per block).  Output: one row
+    (n_users, n_viewed, n_clicked, n_purchased)."""
+    import pandas as pd
+
+    s1, s2, s3 = stages
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        stage = np.full(et.size, -1, np.int8)
+        stage[et == s1] = 0
+        stage[et == s2] = 1
+        stage[et == s3] = 2
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "stage": pa.array(stage, pa.int8()),
+        })
+
+    _SCAN_SCHEMA = pa.schema(
+        [("n_users", pa.int64()), ("n_viewed", pa.int64()),
+         ("n_clicked", pa.int64()), ("n_purchased", pa.int64()),
+         ("user_id", pa.int64()), ("ts_us", pa.int64()),
+         ("stage", pa.int8()), ("kind", pa.int8())]
+    )
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _SCAN_SCHEMA.empty_table()
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        stage = batch["stage"].to_numpy(zero_copy_only=False)
+        edge = (user == user[0]) | (user == user[-1])
+        i = ~edge
+        part = _funnel_partial(user[i], ts[i], stage[i])
+        spill = np.nonzero(edge)[0]
+        return pa.table({
+            "n_users": pa.array(
+                np.concatenate([[part[0]], np.zeros(spill.size, I64)]),
+                pa.int64()),
+            "n_viewed": pa.array(
+                np.concatenate([[part[1]], np.zeros(spill.size, I64)]),
+                pa.int64()),
+            "n_clicked": pa.array(
+                np.concatenate([[part[2]], np.zeros(spill.size, I64)]),
+                pa.int64()),
+            "n_purchased": pa.array(
+                np.concatenate([[part[3]], np.zeros(spill.size, I64)]),
+                pa.int64()),
+            "user_id": pa.array(
+                np.concatenate([[0], user[spill]]), pa.int64()),
+            "ts_us": pa.array(
+                np.concatenate([[0], ts[spill]]), pa.int64()),
+            "stage": pa.array(
+                np.concatenate([np.zeros(1, np.int8), stage[spill]]),
+                pa.int8()),
+            "kind": pa.array(
+                np.concatenate([np.zeros(1, np.int8),
+                                np.ones(spill.size, np.int8)]), pa.int8()),
+        })
+
+    scanned = (
+        events_ds.map_batches(_prep, batch_format="pyarrow")
+        .sort(["user_id", "ts_us", "event_id"])
+        .map_batches(_scan, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+
+    cols = ["n_users", "n_viewed", "n_clicked", "n_purchased"]
+
+    def _narrow(t: pa.Table) -> pa.Table:
+        return pa.table({c: t[c].cast(pa.int64()) for c in cols})
+
+    interior = scanned.filter(expr="kind == 0").map_batches(
+        _narrow, batch_format="pyarrow")
+
+    def _regroup(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        user = group["user_id"].to_numpy(zero_copy_only=False)[order]
+        stage = group["stage"].to_numpy(zero_copy_only=False)[order]
+        part = _funnel_partial(user, ts[order], stage)
+        return pa.table({c: pa.array([part[j]], pa.int64())
+                         for j, c in enumerate(cols)})
+
+    spill_rows = (
+        scanned.filter(expr="kind == 1")
+        .groupby("user_id")
+        .map_groups(_regroup, batch_format="pyarrow")
+        .map_batches(_narrow, batch_format="pyarrow")
+    )
+    total = interior.union(spill_rows).to_pandas()[cols].sum()
+    return pd.DataFrame({c: pd.Series([int(total[c])], dtype="int64")
+                         for c in cols})

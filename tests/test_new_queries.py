@@ -48,6 +48,7 @@ NEW_QUERIES = [
     "label_centroids",
     "urgent_orders_by_month",
     "events_profile",
+    "funnel_events",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -88,6 +89,7 @@ MIN_ROWS = {
     "label_centroids": 640,
     "urgent_orders_by_month": 70,
     "events_profile": 4,
+    "funnel_events": 1,
 }
 
 
@@ -575,3 +577,46 @@ def test_hll_sketch_accuracy_and_mergeability(ray_session):
                           for c in np.array_split(h, nchunks)])
         assert (hll_merge(parts) == whole).all()
     assert hll_estimate(whole) == est
+
+
+def test_funnel_strictness_and_spill(ray_session):
+    """Funnel semantics on adversarial users (the sf testdata is
+    degenerate — every user completes): no-view users, click BEFORE the
+    first view (must not count), click at exactly the first-view ts
+    (strictly-after ⇒ must not count), purchase before the qualifying
+    click, and a full funnel — identical at 1 and 16 blocks."""
+    import numpy as np
+    import ray
+
+    from hsearch_ray.stages.events import funnel_counts
+
+    T = 10**6  # 1s in us
+
+    def ev(u, sec, typ):
+        return {"user_id": u, "ts": pd.Timestamp(sec * T, unit="us"),
+                "event_type": typ}
+
+    rows = []
+    # u0: full funnel
+    rows += [ev(0, 1, "view"), ev(0, 2, "click"), ev(0, 3, "purchase")]
+    # u1: click before view only -> viewed, not clicked
+    rows += [ev(1, 2, "view"), ev(1, 1, "click"), ev(1, 3, "purchase")]
+    # wait: u1's purchase at t3 can't count (no qualifying click)
+    # u2: click at exactly first-view ts -> strictly-after excludes
+    rows += [ev(2, 5, "view"), ev(2, 5, "click")]
+    # u3: no view at all (signup noise only)
+    rows += [ev(3, 1, "signup"), ev(3, 2, "click"), ev(3, 3, "purchase")]
+    # u4: view+click, purchase BEFORE the click -> not purchased
+    rows += [ev(4, 1, "view"), ev(4, 3, "click"), ev(4, 2, "purchase")]
+    # u5: two views; click after the SECOND view only -> still counts
+    #     (strictly after the FIRST view at t1? click t5 > t1 -> counts)
+    rows += [ev(5, 1, "view"), ev(5, 4, "view"), ev(5, 5, "click"),
+             ev(5, 6, "purchase")]
+    df = pd.DataFrame(rows)
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    expect = {"n_users": 6, "n_viewed": 5, "n_clicked": 3, "n_purchased": 2}
+    for nblocks in (1, 16):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        out = funnel_counts(ds).iloc[0].to_dict()
+        assert out == expect, (nblocks, out)
