@@ -192,3 +192,48 @@ def test_int_range_cuts_cover_all_keys(keys, n):
         assert key >= bounds[s]
         if s != last:
             assert key < bounds[s + 1]
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)), max_size=60),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 50)), max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_merge_insertion_matches_bisect(rights, probes):
+    """_merge_insertion must equal per-probe bisect_left over the
+    lex-sorted rights for ANY inputs (probes pre-sorted, the kernel's
+    contract)."""
+    import bisect
+
+    import numpy as np
+
+    from hsearch_ray.stages.events import _merge_insertion
+
+    rights = sorted(rights)
+    probes = sorted(probes)
+    ru = np.array([r[0] for r in rights], dtype=np.int64)
+    rts = np.array([r[1] for r in rights], dtype=np.int64)
+    pu = np.array([p[0] for p in probes], dtype=np.int64)
+    pts = np.array([p[1] for p in probes], dtype=np.int64)
+    got = _merge_insertion(ru, rts, pu, pts)
+    want = [bisect.bisect_left(rights, p) for p in probes]
+    assert list(got) == want
+
+
+@given(st.lists(st.integers(0, 2**64 - 1), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_hll_bit_length_and_merge(hashes):
+    """The branch-free bit_length must equal Python's int.bit_length,
+    and splitting a hash stream anywhere must merge to the whole-stream
+    registers."""
+    import numpy as np
+
+    from hsearch_ray.stages.sketches import (_bit_length_u64, hll_merge,
+                                             hll_partial)
+
+    h = np.array(hashes, dtype=np.uint64)
+    assert list(_bit_length_u64(h)) == [int(x).bit_length() for x in hashes]
+    whole = hll_partial(h, p=6)
+    k = len(hashes) // 2
+    parts = np.stack([hll_partial(h[:k], p=6), hll_partial(h[k:], p=6)])
+    assert (hll_merge(parts) == whole).all()
