@@ -241,6 +241,10 @@ def run_bench() -> dict:
         bench_q("exact_dedup_docs", Q.q_exact_dedup_docs)
         bench_q("ann_topk", Q.q_ann_topk)
         bench_q("containment_pairs_docs", Q.q_containment_pairs_docs)
+        bench_q("clicks_before_purchase", Q.q_clicks_before_purchase)
+        bench_q("active_users_hourly", Q.q_active_users_hourly)
+        bench_q("funnel_events", Q.q_funnel_events)
+        bench_q("label_centroids", Q.q_label_centroids)
 
     result = {
         "metric": "dedup_pipeline_sec",
