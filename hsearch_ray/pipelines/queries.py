@@ -2533,6 +2533,22 @@ def q_funnel_events(sf_dir: str):
     )
 
 
+def q_streaming_session_stats(sf_dir: str):
+    """The STREAMING sibling of `session_stats`: the same gap-session
+    semantics computed incrementally over event-time-ordered
+    micro-batches with open-window state in hash-sharded stateful
+    actors (stages/streaming.py — the one operator family where raw
+    Ray actors are required: a session spanning micro-batches is
+    shared mutable state).  Shares the batch query's DuckDB oracle
+    verbatim; batch≡streaming equivalence is also pinned by pytest."""
+    from hsearch_ray.stages.streaming import stream_sessionize
+
+    return stream_sessionize(
+        _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"]),
+        gap_sec=3600,
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -2608,6 +2624,7 @@ QUERIES = {
     "urgent_orders_by_month": q_urgent_orders_by_month,
     "events_profile": q_events_profile,
     "funnel_events": q_funnel_events,
+    "streaming_session_stats": q_streaming_session_stats,
 }
 
 
@@ -2820,6 +2837,8 @@ ORACLE_SQL = {
                count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS sum_value_c
         FROM s GROUP BY user_id, sid
     """,
+    # the streaming sessionizer computes the SAME window semantics, so
+    # it shares the batch oracle verbatim (see ORACLE_SQL assembly tail)
     "purchase_attribution": """
         SELECT p.event_id AS event_id,
                CAST(max(epoch_us(c.ts)) AS BIGINT) AS prior_ts_us
@@ -3474,3 +3493,7 @@ ORACLE_SQL = {
     # on the minhash family), ann_topk_lsh (approximate by design),
     # sample_events (engine-specific seeded shuffle)
 }
+
+# The streaming sessionizer is semantically identical to the batch
+# sessionizer, so its oracle IS the batch oracle.
+ORACLE_SQL["streaming_session_stats"] = ORACLE_SQL["session_stats"]

@@ -1,0 +1,180 @@
+"""Streaming (micro-batch) window operator: gap-based sessionization
+with open-window state held in SHARDED STATEFUL ACTORS across
+arrivals — the one operator family in this repo where raw Ray actors
+are genuinely required (the custom-operator rule's case (b)): a session
+that spans micro-batches IS shared mutable state, which a stateless
+Dataset transform cannot carry.
+
+Semantics are identical to the batch operator (events.sessionize, the
+LAG/SUM window formulation): a session is a maximal run of a user's
+events with inter-event gap <= gap_sec, keyed by (user, ts, event_id)
+order.  Equivalence with the batch path is the pytest gate, and the
+registered query shares the batch query's DuckDB oracle verbatim.
+
+Design (the production shape, scaled down honestly):
+- State is hash-sharded by user across S actors — each actor owns a
+  disjoint user universe, so no cross-actor coordination ever happens
+  and S scales with the node count.
+- Arrival contract: micro-batches are event-time ordered (every event
+  in batch k+1 has ts >= every event in batch k) — the standard
+  ordered-ingest/watermark assumption.  Under it, an open session whose
+  last event is more than gap before the current batch's minimum ts
+  can never be extended again and is emitted immediately (watermark
+  close), so actor state is O(users active within one gap window), not
+  O(users ever seen).
+- Per-batch work inside the actor is the batch kernel (vectorized
+  session scan); only the per-user state handoff (first/last session
+  of each user's run in the batch) touches a Python dict — O(distinct
+  users in the batch), the irreducible cost of keyed state.
+- The driver loop here stands in for the ingest source (a stream
+  arrives at receivers by definition); what is real at scale is the
+  sharding, the state handoff, and the watermark close.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+I64 = np.int64
+
+_OUT_COLS = ("user_id", "session_start_us", "n_events", "sum_value_c")
+
+
+def _sessions_of(user: np.ndarray, ts: np.ndarray, vc: np.ndarray,
+                 gap_us: int):
+    """Vectorized session scan over a (user, ts)-sorted slice.  Returns
+    per-session arrays (user, start, n, sum, last_ts) plus masks for
+    the first/last session of each user's run."""
+    n = user.size
+    new = np.ones(n, dtype=bool)
+    new[1:] = (user[1:] != user[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+    starts = np.nonzero(new)[0]
+    lens = np.diff(np.append(starts, n)).astype(I64)
+    ends = starts + lens - 1
+    new_user = np.ones(n, dtype=bool)
+    new_user[1:] = user[1:] != user[:-1]
+    is_first = new_user[starts]
+    is_last = np.ones(starts.size, dtype=bool)
+    is_last[:-1] = new_user[starts[1:]]
+    return (user[starts], ts[starts], lens, np.add.reduceat(vc, starts),
+            ts[ends], is_first, is_last)
+
+
+@ray.remote
+class SessionShard:
+    """One state shard: open sessions for this shard's users, keyed by
+    user_id -> [start_us, n_events, sum_value_c, last_ts_us]."""
+
+    def __init__(self, gap_us: int):
+        self.gap_us = int(gap_us)
+        self.open: dict[int, list[int]] = {}
+
+    def _emit(self, rows: list[tuple]) -> pa.Table:
+        if not rows:
+            return pa.schema([(c, pa.int64()) for c in _OUT_COLS]).empty_table()
+        arr = np.asarray(rows, dtype=np.int64)
+        return pa.table({c: pa.array(arr[:, j], pa.int64())
+                         for j, c in enumerate(_OUT_COLS)})
+
+    def process(self, batch: pa.Table) -> pa.Table:
+        """Fold one event-time-ordered micro-batch into the open state;
+        return the sessions that CLOSED (interior sessions, gap-broken
+        opens, and watermark-expired opens)."""
+        closed: list[tuple] = []
+        if batch.num_rows:
+            user = batch["user_id"].to_numpy(zero_copy_only=False)
+            ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+            eid = batch["event_id"].to_numpy(zero_copy_only=False)
+            vc = batch["value_c"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((eid, ts, user))
+            user, ts, vc = user[order], ts[order], vc[order]
+            su, sstart, sn, ssum, slast, first, last = _sessions_of(
+                user, ts, vc, self.gap_us)
+            batch_min = int(ts.min())
+            sstart = sstart.copy()
+            sn = sn.copy()
+            ssum = ssum.copy()
+            for i in range(su.size):
+                u = int(su[i])
+                if first[i]:
+                    st = self.open.pop(u, None)
+                    if st is not None:
+                        if int(sstart[i]) - st[3] <= self.gap_us:
+                            # continues the open session
+                            sstart[i] = st[0]
+                            sn[i] += st[1]
+                            ssum[i] += st[2]
+                        else:
+                            closed.append((u, st[0], st[1], st[2]))
+                if last[i]:
+                    self.open[u] = [int(sstart[i]), int(sn[i]),
+                                    int(ssum[i]), int(slast[i])]
+                else:
+                    closed.append((u, int(sstart[i]), int(sn[i]),
+                                   int(ssum[i])))
+            # watermark close: untouched opens that can never extend
+            expired = [u for u, st in self.open.items()
+                       if st[3] + self.gap_us < batch_min]
+            for u in expired:
+                st = self.open.pop(u)
+                closed.append((u, st[0], st[1], st[2]))
+        return self._emit(closed)
+
+    def flush(self) -> pa.Table:
+        rows = [(u, st[0], st[1], st[2]) for u, st in self.open.items()]
+        self.open.clear()
+        return self._emit(rows)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def stream_sessionize(events_ds, gap_sec: int = 3600, n_shards: int = 4,
+                      micro_batch_rows: int = 4096) -> pd.DataFrame:
+    """Run the event stream through sharded stateful session actors in
+    event-time order and return ALL sessions (closed + final flush) —
+    semantically identical to events.sessionize.  Output columns match
+    the batch query: (user_id, session_start_us, n_events,
+    sum_value_c)."""
+    from hsearch_ray.stages.events import _prep_events
+
+    gap_us = int(gap_sec) * 1_000_000
+    prepped = (
+        events_ds.map_batches(_prep_events, batch_format="pyarrow")
+        .sort(["ts_us", "event_id"])
+    )
+    shards = [SessionShard.remote(gap_us) for _ in range(n_shards)]
+    pending, outs = [], []
+    for mb in prepped.iter_batches(batch_size=micro_batch_rows,
+                                   batch_format="pyarrow"):
+        route = (_splitmix64(
+            mb["user_id"].to_numpy(zero_copy_only=False))
+            % np.uint64(n_shards)).astype(np.int64)
+        for s in range(n_shards):
+            sel = np.nonzero(route == s)[0]
+            if sel.size:
+                pending.append(shards[s].process.remote(mb.take(sel)))
+        # sliding-window throttle: cap in-flight actor calls
+        while len(pending) > 2 * n_shards:
+            done, pending = ray.wait(pending, num_returns=1)
+            outs.extend(ray.get(done))
+    outs.extend(ray.get(pending))
+    outs.extend(ray.get([s.flush.remote() for s in shards]))
+    frames = [t.to_pandas() for t in outs if t.num_rows]
+    if not frames:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in _OUT_COLS})
+    out = pd.concat(frames, ignore_index=True)
+    for c in _OUT_COLS:
+        out[c] = out[c].astype("int64")
+    return out

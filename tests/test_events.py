@@ -120,3 +120,39 @@ def test_asof_strictly_prior_and_ties(ray_session):
     # purchase@t0+5: only the click at t0 is strictly prior
     # purchase@t0+9: the click at t0+5 wins
     assert m == {3: t0, 4: t0 + 5}
+
+
+def test_streaming_sessionize_equals_batch_under_stress(ray_session):
+    """The micro-batch sessionizer must equal the batch operator when
+    sessions span MANY micro-batches (batch size 64 << session length),
+    ties split across batches, and state shards vary — and the
+    watermark close must actually fire (state stays bounded)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from hsearch_ray.stages.events import sessionize
+    from hsearch_ray.stages.streaming import stream_sessionize
+
+    rng = np.random.default_rng(23)
+    n, users = 5000, 25
+    # bursty timeline: long in-session runs + occasional > gap jumps
+    gaps = np.where(rng.random(n) < 0.01,
+                    4000 + rng.integers(0, 4000, n),  # session break
+                    rng.integers(0, 30, n))           # in-session
+    secs = np.cumsum(gaps)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, users, n).astype(np.int64),
+        "ts": pd.to_datetime(secs, unit="s").astype("datetime64[us]"),
+        "value": rng.random(n) * 100,
+    })
+    ds = ray.data.from_pandas(df).repartition(8)
+    want = sessionize(ds, gap_sec=3600).to_pandas().sort_values(
+        ["user_id", "session_start_us"]).reset_index(drop=True)
+    for n_shards, mb in ((1, 64), (5, 97)):
+        got = stream_sessionize(ray.data.from_pandas(df), gap_sec=3600,
+                                n_shards=n_shards, micro_batch_rows=mb)
+        got = got.sort_values(["user_id", "session_start_us"]).reset_index(
+            drop=True)
+        pd.testing.assert_frame_equal(got[want.columns.tolist()], want)

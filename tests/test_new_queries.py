@@ -49,6 +49,7 @@ NEW_QUERIES = [
     "urgent_orders_by_month",
     "events_profile",
     "funnel_events",
+    "streaming_session_stats",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -90,6 +91,7 @@ MIN_ROWS = {
     "urgent_orders_by_month": 70,
     "events_profile": 4,
     "funnel_events": 1,
+    "streaming_session_stats": 800,
 }
 
 
