@@ -1,4 +1,4 @@
-"""Oracle-parity gates for the round-3 coverage queries at sf0.001.
+"""Oracle-parity gates for EVERY oracle-bearing query at sf0.001.
 
 Each test runs the registered Ray query AND its DuckDB oracle SQL over
 the driver testdata and compares with the driver's exact discipline
@@ -50,6 +50,30 @@ NEW_QUERIES = [
     "events_profile",
     "funnel_events",
     "streaming_session_stats",
+    # every remaining oracle-bearing query (driver-era set), so the
+    # suite — not only the per-round driver run — guards ALL oracles
+    "ann_topk",
+    "cluster_radius_docs",
+    "cluster_stats_docs",
+    "containment_pairs_docs",
+    "corpus_stats_docs",
+    "distinct_segments",
+    "embedding_dup_pairs",
+    "events_by_day",
+    "explode_lines_docs",
+    "filter_agg_events",
+    "lang_count_docs",
+    "langid_docs",
+    "median_event_value",
+    "near_dup_pairs_docs",
+    "orders_by_nation",
+    "purchase_attribution",
+    "q1_pricing_summary",
+    "quality_docs",
+    "recall_eval_docs",
+    "supplier_part_stats",
+    "tsv_lang_count_docs",
+    "user_first_event",
 ]
 # trivially-empty results would vacuously pass the hash compare; pin the
 # minimum result sizes observed on the sf0.001 testdata
@@ -93,6 +117,10 @@ MIN_ROWS = {
     "funnel_events": 1,
     "streaming_session_stats": 800,
 }
+# driver-era queries: the oracle compare already pins EXACT row-count
+# equality; 1 here only guards the vacuously-empty case
+for _n in NEW_QUERIES:
+    MIN_ROWS.setdefault(_n, 1)
 
 
 @pytest.fixture(scope="module")
