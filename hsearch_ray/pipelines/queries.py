@@ -2549,6 +2549,37 @@ def q_streaming_session_stats(sf_dir: str):
     )
 
 
+def q_compression_ratio_docs(sf_dir: str):
+    """Compression-ratio quality signal (the Gopher/RefinedWeb-style
+    heuristic: highly compressible text is boilerplate/repetition,
+    incompressible text is noise): per doc, zlib-compressed size over
+    raw size in integer parts-per-million.  The per-doc zlib call IS
+    the compute (C speed); everything around it is one narrow
+    map_batches.  No SQL oracle (DuckDB has no zlib) — monotonicity on
+    constructed repetitive/random/normal docs is the pytest gate, and
+    determinism makes the driver rows-only check stable."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _ratio(batch: pa.Table) -> pa.Table:
+        txt = batch["text"].to_pylist()
+        raw = np.array([len(t.encode("utf-8")) for t in txt], dtype=np.int64)
+        comp = np.array(
+            [len(zlib.compress(t.encode("utf-8"), level=6)) for t in txt],
+            dtype=np.int64,
+        )
+        ppm = np.where(raw > 0, comp * 1_000_000 // np.maximum(raw, 1), 0)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "raw_bytes": pa.array(raw, pa.int64()),
+            "compressed_bytes": pa.array(comp, pa.int64()),
+            "ratio_ppm": pa.array(ppm.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(_ratio, batch_format="pyarrow", batch_size=4096)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -2625,6 +2656,7 @@ QUERIES = {
     "events_profile": q_events_profile,
     "funnel_events": q_funnel_events,
     "streaming_session_stats": q_streaming_session_stats,
+    "compression_ratio_docs": q_compression_ratio_docs,
 }
 
 

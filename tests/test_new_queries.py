@@ -650,3 +650,33 @@ def test_funnel_strictness_and_spill(ray_session):
         ds = ray.data.from_pandas(df).repartition(nblocks)
         out = funnel_counts(ds).iloc[0].to_dict()
         assert out == expect, (nblocks, out)
+
+
+def test_compression_ratio_discriminates(ray_session):
+    """The zlib quality signal must order constructed docs correctly
+    (repetitive << normal << random) and be exactly deterministic."""
+    import tempfile
+
+    import numpy as np
+
+    from hsearch_ray.pipelines.queries import q_compression_ratio_docs
+
+    rng = np.random.default_rng(3)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [
+            "spam " * 400,                                   # repetitive
+            " ".join("the quick brown fox %d" % i for i in range(80)),
+            "".join(chr(rng.integers(33, 0x2FA0)) for _ in range(2000)),
+        ],
+    })
+
+    with tempfile.TemporaryDirectory() as td:
+        docs.assign(lang="en", source="t", n_chars=docs["text"].str.len()) \
+            .to_parquet(f"{td}/documents.parquet", index=False)
+        out1 = q_compression_ratio_docs(td).to_pandas().sort_values("doc_id")
+        out2 = q_compression_ratio_docs(td).to_pandas().sort_values("doc_id")
+    r = out1["ratio_ppm"].to_numpy()
+    assert r[0] < r[1] < r[2], r
+    assert r[0] < 100_000 and r[2] > 700_000
+    pd.testing.assert_frame_equal(out1, out2)
