@@ -78,3 +78,32 @@ def test_flagship_survives_worker_crash(ray_session):
     pd.testing.assert_frame_equal(
         clean_df.reset_index(drop=True), wounded_df.reset_index(drop=True)
     )
+
+
+def test_flagship_invariant_under_tiny_blocks(ray_session):
+    """Block-size independence at the WHOLE-PIPELINE level: shrinking
+    target_max_block_size ~1000x (so every stage sees many tiny blocks
+    — the spill/backpressure regime a 100-TB run lives in) must produce
+    byte-identical cluster assignments."""
+    import ray.data
+
+    from hsearch_ray.config import PipelineConfig
+    from hsearch_ray.corpus import generate_corpus
+    from hsearch_ray.pipelines.dedup import dedup_pipeline
+
+    corpus, _ = generate_corpus(n_files=150, seed=31)
+    cfg = PipelineConfig()
+    baseline = dedup_pipeline(
+        ray.data.from_arrow(corpus), cfg
+    ).clusters.to_pandas().sort_values("file_id").reset_index(drop=True)
+
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 64 * 1024  # ~1000x below default
+        tiny = dedup_pipeline(
+            ray.data.from_arrow(corpus), cfg
+        ).clusters.to_pandas().sort_values("file_id").reset_index(drop=True)
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(baseline, tiny)
