@@ -2580,6 +2580,42 @@ def q_compression_ratio_docs(sf_dir: str):
     return ds.map_batches(_ratio, batch_format="pyarrow", batch_size=4096)
 
 
+def q_ipc_roundtrip_docs(sf_dir: str):
+    """Arrow-IPC source round-trip (the custom-datasource pattern: Ray
+    Data has no read_ipc, so sources/ipc.py composes read_binary_files
+    with a per-shard pyarrow.ipc decode).  Documents are exported to
+    IPC shards once (cache keyed by the parquet's content identity),
+    read back through the validating reader, and per-doc char + token
+    counts recomputed from the round-tripped text; the oracle
+    recomputes from the PARQUET table, so equality proves the binary
+    interchange preserves text exactly."""
+    import os
+
+    from hsearch_ray.sources.ipc import read_ipc, write_ipc
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_mtime_ns}_{st.st_size}"
+    idir = f"/tmp/graft_ipc_{tag}"
+    marker = idir + "/.done"
+    if not os.path.exists(marker):
+        os.makedirs(idir, exist_ok=True)
+        write_ipc(_read(sf_dir, "documents", columns=["doc_id", "text"]), idir)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    ds = read_ipc(idir, required=("doc_id", "text"))
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_chars_rt": df["text"].str.len().astype("int64"),
+            "n_tokens": df["text"].str.count(r"\S+").astype("int64"),
+        })
+
+    return ds.map_batches(_counts, batch_format="pandas", batch_size=4096)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -2657,6 +2693,7 @@ QUERIES = {
     "funnel_events": q_funnel_events,
     "streaming_session_stats": q_streaming_session_stats,
     "compression_ratio_docs": q_compression_ratio_docs,
+    "ipc_roundtrip_docs": q_ipc_roundtrip_docs,
 }
 
 
@@ -3529,3 +3566,7 @@ ORACLE_SQL = {
 # The streaming sessionizer is semantically identical to the batch
 # sessionizer, so its oracle IS the batch oracle.
 ORACLE_SQL["streaming_session_stats"] = ORACLE_SQL["session_stats"]
+
+# The IPC round-trip recomputes the same counts as the JSONL
+# round-trip from a different wire format; same parquet-side oracle.
+ORACLE_SQL["ipc_roundtrip_docs"] = ORACLE_SQL["jsonl_token_count_docs"]

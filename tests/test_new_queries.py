@@ -50,6 +50,7 @@ NEW_QUERIES = [
     "events_profile",
     "funnel_events",
     "streaming_session_stats",
+    "ipc_roundtrip_docs",
     # every remaining oracle-bearing query (driver-era set), so the
     # suite — not only the per-round driver run — guards ALL oracles
     "ann_topk",
@@ -116,6 +117,7 @@ MIN_ROWS = {
     "events_profile": 4,
     "funnel_events": 1,
     "streaming_session_stats": 800,
+    "ipc_roundtrip_docs": 500,
 }
 # driver-era queries: the oracle compare already pins EXACT row-count
 # equality; 1 here only guards the vacuously-empty case
@@ -680,3 +682,24 @@ def test_compression_ratio_discriminates(ray_session):
     assert r[0] < r[1] < r[2], r
     assert r[0] < 100_000 and r[2] > 700_000
     pd.testing.assert_frame_equal(out1, out2)
+
+
+def test_ipc_reader_validates(ray_session, tmp_path):
+    """The IPC reader must fail loudly on schema drift, and the writer
+    must round-trip non-ASCII text byte-exactly."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray as _ray
+
+    from hsearch_ray.sources.ipc import read_ipc, write_ipc
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["héllo\nwörld", "日本語 \t x"])})
+    n = write_ipc(_ray.data.from_arrow(tbl), str(tmp_path))
+    assert n >= 1
+    out = read_ipc(str(tmp_path), required=("doc_id", "text")).to_pandas()
+    assert sorted(out["text"]) == sorted(tbl["text"].to_pylist())
+
+    with _pytest.raises(_ray.exceptions.RayTaskError,
+                        match="required column"):
+        read_ipc(str(tmp_path), required=("missing_col",)).materialize()
