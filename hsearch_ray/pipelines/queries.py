@@ -1029,6 +1029,17 @@ def q_ann_topk_lsh(sf_dir: str):
     return lsh_topk(emb, _load_queries(sf_dir), k=5)
 
 
+def q_ann_topk_pq(sf_dir: str):
+    """Product-quantization approximate top-5 (ADC table scan + exact
+    re-rank through the sharded vector store) — the MEMORY-bounded
+    scale arm: m uint8 codes per vector instead of d floats.
+    Rows-only; recall vs brute pinned by pytest."""
+    from hsearch_ray.stages.ann import pq_topk
+
+    emb = _read(sf_dir, "embeddings")
+    return pq_topk(emb, _load_queries(sf_dir), k=5)
+
+
 def q_ann_topk_ivf(sf_dir: str):
     """IVF approximate top-5 (distributed k-means coarse quantizer +
     probed-cell scan) — rows-only; recall vs brute pinned by pytest."""
@@ -2694,6 +2705,7 @@ QUERIES = {
     "streaming_session_stats": q_streaming_session_stats,
     "compression_ratio_docs": q_compression_ratio_docs,
     "ipc_roundtrip_docs": q_ipc_roundtrip_docs,
+    "ann_topk_pq": q_ann_topk_pq,
 }
 
 

@@ -624,3 +624,123 @@ def semantic_dup_pairs(emb_ds, threshold: float, nlist: int = 32,
         .groupby("cid")
         .map_groups(_cluster_pairs, batch_format="pyarrow")
     )
+
+
+def pq_fit(emb_ds, m: int = 8, ksub: int = 16, sample: int = 4096,
+           iters: int = 8, seed: int = 42) -> np.ndarray:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    2011): split the (normalized) vector into ``m`` subspaces and
+    k-means each with ``ksub`` centroids.  Trained on a driver-side
+    sample (the FAISS training discipline — codebook quality needs a
+    sample, not the corpus; the corpus-wide passes stay distributed).
+    Returns (m, ksub, d//m) float64 codebooks, deterministic in seed."""
+    pdf = emb_ds.limit(int(sample)).to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in pdf["embedding"]])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    n, d = mat.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), np.float64)
+    for j in range(m):
+        x = mat[:, j * dsub:(j + 1) * dsub]
+        cents = x[rng.choice(n, size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            # argmin ||x - c||^2 == argmax (x.c - |c|^2/2)
+            assign = np.argmax(x @ cents.T - 0.5 * (cents * cents).sum(1),
+                               axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, x)
+            cnt = np.bincount(assign, minlength=ksub).astype(np.float64)
+            nz = cnt > 0
+            cents[nz] = sums[nz] / cnt[nz, None]
+        books[j] = cents
+    return books
+
+
+@lru_cache(maxsize=8)
+def _pq_state(ref):
+    """Per-process cache: query ids, per-query ADC inner-product tables
+    (nq, m, ksub), and the codebooks."""
+    qids, qnorm, books = ray.get(ref)
+    m, ksub, dsub = books.shape
+    nq = qids.size
+    tables = np.empty((nq, m, ksub), np.float64)
+    for j in range(m):
+        qsub = qnorm[:, j * dsub:(j + 1) * dsub]  # (nq, dsub)
+        tables[:, j, :] = qsub @ books[j].T
+    return qids, tables, books
+
+
+def pq_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5,
+            m: int = 8, ksub: int = 32, rerank: int = 100,
+            seed: int = 42, id_col: str = "vec_id"):
+    """PQ ANN (ADC scan + exact re-rank) — the MEMORY-bounded scale
+    path: each batch encodes its vectors to ``m`` uint8 codes (argmin
+    per subspace) and scores every query with m table lookups per
+    vector instead of d multiplies; per-batch top-``rerank`` approximate
+    candidates merge on the driver (nq × rerank rows — tiny), and the
+    winners are re-ranked EXACTLY through the sharded vector store, so
+    the output ranking key (rounded cosine, id tie-break) is identical
+    to the brute arm's.  Approximate by design (a true neighbor missing
+    from every batch's top-rerank is lost); recall pinned by pytest."""
+    qd = {int(i): np.asarray(v, dtype=np.float64) for i, v in query_vectors.items()}
+    qids = np.array(sorted(qd), dtype=np.int64)
+    qm = np.stack([qd[i] for i in qids])
+    qnorm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+    books = pq_fit(emb_ds, m=m, ksub=ksub, seed=seed)
+    ref = ray.put((qids, qnorm, books))
+
+    def _adc(batch: pa.Table) -> pa.Table:
+        qids_, tables, books_ = _pq_state(ref)
+        m_, ksub_, dsub = books_.shape
+        emb = _embedding_matrix(batch)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        embn = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                                1e-12)
+        n = embn.shape[0]
+        approx = np.zeros((n, qids_.size), np.float64)
+        for j in range(m_):
+            x = embn[:, j * dsub:(j + 1) * dsub]
+            codes = np.argmax(
+                x @ books_[j].T - 0.5 * (books_[j] * books_[j]).sum(1),
+                axis=1)
+            approx += tables[:, j, codes].T  # (n, nq)
+        out_q, out_v, out_s = [], [], []
+        for r, qid in enumerate(qids_):
+            mask = vids != qid
+            rows = np.nonzero(mask)[0]
+            if rows.size == 0:
+                continue
+            a = approx[rows, r]
+            sel = np.lexsort((vids[rows], -a))[:rerank]
+            out_q.extend([int(qid)] * len(sel))
+            out_v.extend(int(v) for v in vids[rows[sel]])
+            out_s.extend(a[sel])
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_v, pa.int64()),
+            "approx": pa.array(out_s, pa.float64()),
+        })
+
+    cand = emb_ds.map_batches(_adc, batch_format="pyarrow",
+                              batch_size=4096).to_pandas()
+    # global approximate top-rerank per query (driver-sized: nq x rerank)
+    cand = (cand.sort_values(["query_id", "approx", "neighbor_id"],
+                             ascending=[True, False, True])
+            .groupby("query_id").head(rerank))
+    bounds, shard_refs, _ = build_vec_store(emb_ds, id_col=id_col)
+    look = _ShardedVecLookup(ray.put((bounds, shard_refs)))
+    vecs, ok = look.gather(cand["neighbor_id"].to_numpy(dtype=np.int64))
+    cand = cand[ok].reset_index(drop=True)
+    vecs = vecs[ok]
+    vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    qrow = {int(q): i for i, q in enumerate(qids)}
+    qidx = cand["query_id"].map(qrow).to_numpy(dtype=np.int64)
+    cand["sim"] = np.round((vecs * qnorm[qidx]).sum(axis=1), 6)
+    out = (cand.sort_values(["query_id", "sim", "neighbor_id"],
+                            ascending=[True, False, True])
+           .groupby("query_id").head(k))
+    return out[["query_id", "neighbor_id"]].reset_index(drop=True)

@@ -204,3 +204,30 @@ def test_semantic_dup_pairs_recall_and_precision(ray_session):
     assert got_pairs <= want  # exact within-cluster scoring: precision 1
     recall = len(got_pairs & want) / len(want)
     assert recall >= 0.9
+
+
+def test_pq_topk_recall_and_determinism(ray_session):
+    """The PQ arm (ADC scan + exact re-rank) must recover most of the
+    exact top-5 (recall@5 >= 0.8 at ksub=16 on the 500-vector table —
+    the re-rank makes every returned rank exact) and be exactly
+    deterministic run to run."""
+    import pandas as pd
+    import ray.data
+
+    from hsearch_ray.pipelines.queries import _load_queries
+    from hsearch_ray.stages.ann import brute_force_topk, pq_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = ray.data.read_parquet(f"{sf}/embeddings.parquet")
+    q = _load_queries(sf)
+    exact = brute_force_topk(emb, q, k=5).to_pandas()
+    got1 = pq_topk(emb, q, k=5)
+    got2 = pq_topk(emb, q, k=5)
+    pd.testing.assert_frame_equal(
+        got1.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True),
+        got2.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True),
+    )
+    want = set(map(tuple, exact[["query_id", "neighbor_id"]].to_numpy()))
+    got = set(map(tuple, got1[["query_id", "neighbor_id"]].to_numpy()))
+    recall = len(got & want) / len(want)
+    assert recall >= 0.8, recall
