@@ -2447,10 +2447,12 @@ def q_approx_distinct_tokens(sf_dir: str):
 
     rows = ds.map_batches(_partial, batch_format="pandas",
                           batch_size=2048).to_pandas()
-    stacked = np.stack(
-        [np.frombuffer(b, dtype=np.uint8) for b in rows["regs"]]
-    )
-    merged = hll_merge(stacked)
+    if rows.empty:
+        merged = np.zeros(1 << _HLL_P, np.uint8)
+    else:
+        merged = hll_merge(np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in rows["regs"]]
+        ))
     return pd.DataFrame(
         {"approx_distinct": pd.Series([hll_estimate(merged)], dtype="int64"),
          "n_registers": pd.Series([merged.size], dtype="int64")}

@@ -702,6 +702,7 @@ def funnel_counts(events_ds, stages=("view", "click", "purchase")):
         .map_groups(_regroup, batch_format="pyarrow")
         .map_batches(_narrow, batch_format="pyarrow")
     )
-    total = interior.union(spill_rows).to_pandas()[cols].sum()
+    pdf = interior.union(spill_rows).to_pandas()
+    total = {c: 0 for c in cols} if pdf.empty else pdf[cols].sum()
     return pd.DataFrame({c: pd.Series([int(total[c])], dtype="int64")
                          for c in cols})

@@ -156,3 +156,32 @@ def test_streaming_sessionize_equals_batch_under_stress(ray_session):
         got = got.sort_values(["user_id", "session_start_us"]).reset_index(
             drop=True)
         pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_new_event_operators_handle_empty_input(ray_session):
+    """Every new event operator must return a well-formed empty (or
+    zero) result on an empty event stream — not crash in a kernel that
+    assumed rows exist."""
+    import pandas as pd
+    import ray
+
+    from hsearch_ray.stages.events import (funnel_counts, transition_counts,
+                                           windowed_prior_count)
+    from hsearch_ray.stages.streaming import stream_sessionize
+
+    empty = pd.DataFrame({
+        "event_id": pd.Series(dtype="int64"),
+        "user_id": pd.Series(dtype="int64"),
+        "ts": pd.Series(dtype="datetime64[us]"),
+        "event_type": pd.Series(dtype="object"),
+        "value": pd.Series(dtype="float64"),
+    })
+    ds = ray.data.from_pandas(empty)
+    t = transition_counts(ds)
+    assert len(t) == 0
+    w = windowed_prior_count(ds).to_pandas()
+    assert len(w) == 0
+    f = funnel_counts(ds)
+    assert f.iloc[0].tolist() == [0, 0, 0, 0]
+    s = stream_sessionize(ds)
+    assert len(s) == 0
