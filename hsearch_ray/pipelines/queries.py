@@ -1277,6 +1277,120 @@ def q_decontaminate_docs(sf_dir: str):
     )
 
 
+# Query-vs-corpus search: every doc_id % _SEARCH_MOD == _SEARCH_REM is a
+# "query"; hits are all OTHER docs at exact shingle Jaccard >= threshold.
+# 0.06 sits above the synthetic corpus's boilerplate floor (~0.04-0.05)
+# and below its planted near-dups (~0.98), so the hit set is non-trivial
+# at every sf level.
+_SEARCH_MOD = 50
+_SEARCH_REM = 7
+_SEARCH_THRESHOLD = 0.06
+
+
+def q_text_search_docs(sf_dir: str):
+    """Query-vs-corpus fingerprint search — the reference's core *search*
+    loop (a small query set probed against a large corpus, every hit
+    above a similarity cutoff reported: kmer_search.cpp's
+    lookup-then-exact-check, hash_search.cpp's bucket probe + verify),
+    re-expressed as the broadcast-probe shape: with |queries| <<
+    |corpus| (hsearch's operating point) the query side ships ONCE and
+    the corpus never shuffles.
+
+    Plan: the query docs' sorted-unique shingle-hash sets are packed
+    (qids, offsets, values, owner) on the driver and ``ray.put``
+    once; the corpus streams through ``map_batches``, each batch doing
+    one vectorized rolling-hash pass (signatures.batched_streams) and
+    ONE searchsorted of its concatenated unique shingles against the
+    global sorted query-shingle array — per-(doc, query) intersection
+    counts then fall out of a single ``bincount`` over (doc, owner)
+    match keys.  No per-pair Python loop, no per-query rescan.
+    Output: (query_id, hit_id, jaccard) for hits >= threshold,
+    jaccard rounded to 6 dp (the shingle-CTE oracle mirrors it
+    string-side)."""
+    from hsearch_ray.stages.signatures import batched_streams
+
+    k = _SHINGLE_K
+    thr = _SEARCH_THRESHOLD
+    def _pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % _SEARCH_MOD == _SEARCH_REM))
+
+    qdf = (
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+        .map_batches(_pick, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    qsets = [
+        np.unique(s)
+        for s in batched_streams(
+            pa.chunked_array([pa.array(qdf["text"], pa.string())]), k
+        )
+    ]
+    qids = qdf["doc_id"].to_numpy(dtype=np.int64)
+    qsizes = np.array([u.size for u in qsets], dtype=np.int64)
+    # one global sorted array of every query shingle; `owner` maps each
+    # entry back to its query (values shared by multiple queries simply
+    # appear once per owner, adjacent after the stable sort)
+    qvals = (
+        np.concatenate(qsets) if qsets else np.empty(0, np.uint64)
+    )
+    owner = np.repeat(
+        np.arange(len(qsets), dtype=np.int64), qsizes
+    )
+    order = np.argsort(qvals, kind="stable")
+    ref = ray.put((qids, qsizes, qvals[order], owner[order]))
+    nq = len(qsets)
+
+    def _probe(batch: pa.Table, ref=ref) -> pa.Table:
+        empty = pa.schema(
+            [("query_id", pa.int64()), ("hit_id", pa.int64()),
+             ("jaccard", pa.float64())]
+        ).empty_table()
+        if batch.num_rows == 0 or nq == 0:
+            return empty
+        qids, qsizes, qv, qown = ray.get(ref)
+        uniqs = [np.unique(s) for s in batched_streams(batch["text"], k)]
+        sizes = np.array([u.size for u in uniqs], dtype=np.int64)
+        allu = (
+            np.concatenate(uniqs) if uniqs else np.empty(0, np.uint64)
+        )
+        lo = np.searchsorted(qv, allu, side="left")
+        hi = np.searchsorted(qv, allu, side="right")
+        lens = hi - lo
+        m = lens > 0
+        # expand every matched value's [lo, hi) owner range, tag with its
+        # doc row, and count (doc, query) co-occurrences in one bincount
+        from hsearch_ray.stages.verify import _concat_ranges
+
+        idx = _concat_ranges(lo[m], lens[m])
+        doc_of = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), sizes
+        )
+        rep_doc = np.repeat(doc_of[m], lens[m])
+        counts = np.bincount(
+            rep_doc * nq + qown[idx], minlength=batch.num_rows * nq
+        ).reshape(batch.num_rows, nq)
+        union = sizes[:, None] + qsizes[None, :] - counts
+        j = counts / np.maximum(union, 1)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = (j >= thr) & (ids[:, None] != qids[None, :]) & (union > 0)
+        di, qi = np.nonzero(keep)
+        if di.size == 0:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qi], pa.int64()),
+                "hit_id": pa.array(ids[di], pa.int64()),
+                "jaccard": pa.array(np.round(j[di, qi], 6), pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        _probe, batch_format="pyarrow", batch_size=1024
+    )
+
+
 # Price bar for the anti-join: the synthetic orders table covers nearly
 # every customer, so "no order at all" is ~empty at every sf; "no order
 # above this bar" keeps the query non-trivial (20 rows at sf0.001,
@@ -2708,6 +2822,7 @@ QUERIES = {
     "compression_ratio_docs": q_compression_ratio_docs,
     "ipc_roundtrip_docs": q_ipc_roundtrip_docs,
     "ann_topk_pq": q_ann_topk_pq,
+    "text_search_docs": q_text_search_docs,
 }
 
 
@@ -3580,6 +3695,38 @@ ORACLE_SQL = {
 # The streaming sessionizer is semantically identical to the batch
 # sessionizer, so its oracle IS the batch oracle.
 ORACLE_SQL["streaming_session_stats"] = ORACLE_SQL["session_stats"]
+
+# Query-vs-corpus search: string-side shingle sets (the shingle-CTE
+# hash-collision argument) between the deterministic query subset and
+# every other doc, hits at jaccard >= threshold.
+ORACLE_SQL["text_search_docs"] = f"""
+WITH docs AS (
+  SELECT doc_id, replace(text, chr(13) || chr(10), chr(10)) AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(length(t) - {_SHINGLE_K - 1}, 1))) AS i
+  FROM docs
+),
+sh AS (SELECT DISTINCT doc_id, substr(t, i, {_SHINGLE_K}) AS s FROM pos),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+q AS (SELECT doc_id FROM documents
+      WHERE doc_id % {_SEARCH_MOD} = {_SEARCH_REM}),
+inter AS (
+  SELECT qs.doc_id AS query_id, ds.doc_id AS hit_id, count(*) AS c
+  FROM sh qs
+  JOIN q ON q.doc_id = qs.doc_id
+  JOIN sh ds ON ds.s = qs.s AND ds.doc_id <> qs.doc_id
+  GROUP BY 1, 2
+)
+SELECT query_id, hit_id,
+       round(CAST(c AS DOUBLE) / (sq.n + sb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes sq ON sq.doc_id = query_id
+JOIN sizes sb ON sb.doc_id = hit_id
+WHERE CAST(c AS DOUBLE) / (sq.n + sb.n - c) >= {_SEARCH_THRESHOLD}
+"""
 
 # The IPC round-trip recomputes the same counts as the JSONL
 # round-trip from a different wire format; same parquet-side oracle.

@@ -51,6 +51,7 @@ NEW_QUERIES = [
     "funnel_events",
     "streaming_session_stats",
     "ipc_roundtrip_docs",
+    "text_search_docs",
     # every remaining oracle-bearing query (driver-era set), so the
     # suite — not only the per-round driver run — guards ALL oracles
     "ann_topk",
@@ -118,6 +119,7 @@ MIN_ROWS = {
     "funnel_events": 1,
     "streaming_session_stats": 800,
     "ipc_roundtrip_docs": 500,
+    "text_search_docs": 100,
 }
 # driver-era queries: the oracle compare already pins EXACT row-count
 # equality; 1 here only guards the vacuously-empty case
@@ -156,6 +158,18 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     assert len(mine) >= MIN_ROWS[name]
     assert sorted(mine.columns) == sorted(oracle.columns)
     assert value_hash(mine) == value_hash(oracle)
+
+
+def test_text_search_hit_contract(ray_session):
+    """Search-semantics invariants beyond oracle parity: every hit is at
+    or above the cutoff, belongs to a real query, and never self-matches."""
+    from hsearch_ray.pipelines import queries as Q
+
+    df = Q.QUERIES["text_search_docs"](SF).to_pandas()
+    assert len(df) > 0
+    assert (df["jaccard"] >= Q._SEARCH_THRESHOLD - 1e-9).all()
+    assert (df["query_id"] % Q._SEARCH_MOD == Q._SEARCH_REM).all()
+    assert (df["query_id"] != df["hit_id"]).all()
 
 
 def test_cap_per_source_properties(ray_session):
