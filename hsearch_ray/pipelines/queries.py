@@ -2535,6 +2535,101 @@ def q_label_centroids(sf_dir: str):
     return out
 
 
+# Outlier bar for embedding_outliers: squared distance-to-centroid in
+# kilo-unit² (x1e6) — the synthetic embeddings' d2 clusters at ~1.0 with
+# a p90 of ~1.02, so 1.02e6 flags a non-trivial ~10% tail at every sf.
+_OUTLIER_T_KILO2 = 1_020_000
+
+
+def q_embedding_outliers(sf_dir: str):
+    """Per-label centroid-distance outlier filter — the quality-control
+    pass of an embedding-based curation pipeline (SemDeDup/SSL-prototype
+    pruning: vectors far from their cluster center are mislabeled or
+    noise).  Exactness discipline: with x in integer kilo-units and s =
+    Σx per (label, dim), ``dist² > T`` is decided as the ALL-INTEGER
+    predicate Σ_dim (n·x − s)² > T·n² — no float centroid ever exists,
+    so the DuckDB oracle is bit-identical (the label_centroids
+    micro-unit discipline, one level further).
+
+    Scale shape: pass 1 is the distributed grouped sum over the tiny
+    (labels × dims) key space; pass 2 broadcasts that table (ray.put
+    once) and streams the corpus through one vectorized map_batches —
+    no shuffle of the vectors themselves.
+    Output: (vec_id, label, d2n2) for flagged vectors only."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+
+    def _kilo(batch: pa.Table):
+        col = batch["embedding"].combine_chunks()
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(off)
+        d = int(lens[0]) if lens.size else 0
+        if d == 0 or not (lens == d).all():
+            raise ValueError("embedding column must be fixed-width non-empty")
+        vals = col.values.to_numpy(zero_copy_only=False)
+        flat = vals[off[0]:off[-1]].astype(np.float64)
+        kilo = np.floor(flat * 1000 + 0.5).astype(np.int64).reshape(-1, d)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return kilo, lab, d
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("label", pa.int64()), ("dim", pa.int64()),
+             ("sum_kilo", pa.int64()), ("n_vecs", pa.int64())]
+        ).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        kilo, lab, d = _kilo(batch)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((uniq.size, d), np.int64)
+        np.add.at(sums, inv, kilo)
+        cnt = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), uniq.size),
+                            pa.int64()),
+            "sum_kilo": pa.array(sums.ravel(), pa.int64()),
+            "n_vecs": pa.array(np.repeat(cnt, d), pa.int64()),
+        })
+
+    cent = grouped_agg(
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=4096),
+        ["label", "dim"], {"sum_kilo": ["sum"], "n_vecs": ["sum"]},
+    ).rename(columns={"sum_kilo__sum": "sum_kilo", "n_vecs__sum": "n_vecs"})
+    labels = np.sort(cent["label"].unique().astype(np.int64))
+    d = int(cent["dim"].max()) + 1 if len(cent) else 0
+    S = np.zeros((labels.size, d), np.int64)
+    li = np.searchsorted(labels, cent["label"].to_numpy(dtype=np.int64))
+    S[li, cent["dim"].to_numpy(dtype=np.int64)] = (
+        cent["sum_kilo"].to_numpy(dtype=np.int64)
+    )
+    n_of = np.zeros(labels.size, np.int64)
+    n_of[li] = cent["n_vecs"].to_numpy(dtype=np.int64)
+    ref = ray.put((labels, S, n_of))
+    thr = _OUTLIER_T_KILO2
+
+    def _flag(batch: pa.Table, ref=ref) -> pa.Table:
+        empty = pa.schema(
+            [("vec_id", pa.int64()), ("label", pa.int64()),
+             ("d2n2", pa.int64())]
+        ).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        labels, S, n_of = ray.get(ref)
+        kilo, lab, _ = _kilo(batch)
+        idx = np.searchsorted(labels, lab)
+        n = n_of[idx]
+        diff = n[:, None] * kilo - S[idx]
+        d2n2 = np.einsum("ij,ij->i", diff, diff)
+        keep = d2n2 > thr * n * n
+        return pa.table({
+            "vec_id": batch["vec_id"].cast(pa.int64()).filter(pa.array(keep)),
+            "label": pa.array(lab[keep], pa.int64()),
+            "d2n2": pa.array(d2n2[keep], pa.int64()),
+        })
+
+    return ds.map_batches(_flag, batch_format="pyarrow", batch_size=4096)
+
+
 _HLL_P = 12  # 4096 registers -> ~1.6% standard error
 
 
@@ -2814,6 +2909,7 @@ QUERIES = {
     "clicks_before_purchase": q_clicks_before_purchase,
     "lang_source_rollup": q_lang_source_rollup,
     "label_centroids": q_label_centroids,
+    "embedding_outliers": q_embedding_outliers,
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "urgent_orders_by_month": q_urgent_orders_by_month,
     "events_profile": q_events_profile,
@@ -3631,6 +3727,34 @@ ORACLE_SQL = {
         FROM embeddings
         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
         GROUP BY 1, 2
+    """,
+    # same integer-kilo discipline as label_centroids: the Σ(n·x − s)²
+    # > T·n² predicate is all-BIGINT on both sides, so the hash compare
+    # is exact (no float centroid ever materializes)
+    "embedding_outliers": """
+        WITH k AS (
+          SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                 CAST(label AS BIGINT) AS label, d.dim,
+                 CAST(floor(CAST(embedding[d.dim + 1] AS DOUBLE)
+                            * 1000 + 0.5) AS BIGINT) AS x
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
+        ),
+        c AS (
+          SELECT label, dim, CAST(sum(x) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM k GROUP BY 1, 2
+        ),
+        dist AS (
+          SELECT k.vec_id, k.label,
+                 CAST(sum((c.n * k.x - c.s) * (c.n * k.x - c.s))
+                      AS BIGINT) AS d2n2,
+                 max(c.n) AS n
+          FROM k JOIN c ON k.label = c.label AND k.dim = c.dim
+          GROUP BY 1, 2
+        )
+        SELECT vec_id, label, d2n2
+        FROM dist WHERE d2n2 > 1020000 * n * n
     """,
     "urgent_orders_by_month": """
         SELECT strftime(o_orderdate, '%Y-%m') AS month,

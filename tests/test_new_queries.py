@@ -46,6 +46,7 @@ NEW_QUERIES = [
     "clicks_before_purchase",
     "lang_source_rollup",
     "label_centroids",
+    "embedding_outliers",
     "urgent_orders_by_month",
     "events_profile",
     "funnel_events",
@@ -114,6 +115,7 @@ MIN_ROWS = {
     "clicks_before_purchase": 150,
     "lang_source_rollup": 50,
     "label_centroids": 640,
+    "embedding_outliers": 10,
     "urgent_orders_by_month": 70,
     "events_profile": 4,
     "funnel_events": 1,
