@@ -2630,6 +2630,73 @@ def q_embedding_outliers(sf_dir: str):
     return ds.map_batches(_flag, batch_format="pyarrow", batch_size=4096)
 
 
+def q_json_props_stats(sf_dir: str):
+    """Semi-structured column extraction — the log-analytics staple of
+    pulling a typed field out of a JSON payload column at scale.  The
+    extraction is one vectorized Arrow ``extract_regex`` kernel per
+    batch (no per-row json.loads loop; the reference's hand-rolled
+    field parsers play this role, e.g. the M8 column split), followed
+    by narrow integer partials and the distributed grouped sum over the
+    tiny event_type key space.  NULL / non-matching payloads count in
+    n_events but contribute nothing to the k aggregates — SQL aggregate
+    semantics exactly.
+    Output: (event_type, n_events, n_k, sum_k, min_k, max_k)."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    pat = r'"k"\s*:\s*(?P<k>-?\d+)'
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("event_type", pa.string()), ("n_events", pa.int64()),
+             ("n_k", pa.int64()), ("sum_k", pa.int64()),
+             ("min_k", pa.int64()), ("max_k", pa.int64())]
+        ).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        ext = pc.extract_regex(batch["props"], pat)
+        k = pc.struct_field(ext, "k").cast(pa.int64())
+        kv = k.combine_chunks().to_numpy(zero_copy_only=False)
+        valid = ~pd.isna(kv)
+        kint = np.where(valid, kv, 0).astype(np.int64)
+        et = batch["event_type"].to_pandas().to_numpy(dtype=object)
+        uniq, inv = np.unique(et.astype(str), return_inverse=True)
+        n = np.bincount(inv, minlength=uniq.size).astype(np.int64)
+        # all-int64 scatter adds (bincount's float64 weights would cap
+        # exactness at 2^53 — the integer-cents discipline, applied here)
+        nk = np.zeros(uniq.size, np.int64)
+        np.add.at(nk, inv, valid.astype(np.int64))
+        sk = np.zeros(uniq.size, np.int64)
+        np.add.at(sk, inv, kint * valid)
+        # min/max per group: +inf/-inf sentinels on invalid rows, then
+        # np.minimum.at / np.maximum.at scatter reduction
+        big = np.int64(2**62)
+        mn = np.full(uniq.size, big, np.int64)
+        mx = np.full(uniq.size, -big, np.int64)
+        np.minimum.at(mn, inv, np.where(valid, kint, big))
+        np.maximum.at(mx, inv, np.where(valid, kint, -big))
+        return pa.table({
+            "event_type": pa.array(uniq, pa.string()),
+            "n_events": pa.array(n, pa.int64()),
+            "n_k": pa.array(nk.astype(np.int64), pa.int64()),
+            "sum_k": pa.array(sk.astype(np.int64), pa.int64()),
+            "min_k": pa.array(mn, pa.int64()),
+            "max_k": pa.array(mx, pa.int64()),
+        })
+
+    out = grouped_agg(
+        ds.map_batches(_partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type"],
+        {"n_events": ["sum"], "n_k": ["sum"], "sum_k": ["sum"],
+         "min_k": ["min"], "max_k": ["max"]},
+    ).rename(columns={"n_events__sum": "n_events", "n_k__sum": "n_k",
+                      "sum_k__sum": "sum_k", "min_k__min": "min_k",
+                      "max_k__max": "max_k"})
+    for c in ("n_events", "n_k", "sum_k", "min_k", "max_k"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 _HLL_P = 12  # 4096 registers -> ~1.6% standard error
 
 
@@ -2910,6 +2977,7 @@ QUERIES = {
     "lang_source_rollup": q_lang_source_rollup,
     "label_centroids": q_label_centroids,
     "embedding_outliers": q_embedding_outliers,
+    "json_props_stats": q_json_props_stats,
     "approx_distinct_tokens": q_approx_distinct_tokens,
     "urgent_orders_by_month": q_urgent_orders_by_month,
     "events_profile": q_events_profile,
@@ -3727,6 +3795,19 @@ ORACLE_SQL = {
         FROM embeddings
         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) d
         GROUP BY 1, 2
+    """,
+    "json_props_stats": r"""
+        WITH e AS (
+          SELECT event_type,
+                 TRY_CAST(NULLIF(regexp_extract(props,
+                     '"k"\s*:\s*(-?\d+)', 1), '') AS BIGINT) AS k
+          FROM events
+        )
+        SELECT event_type, count(*) AS n_events, count(k) AS n_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(min(k) AS BIGINT) AS min_k,
+               CAST(max(k) AS BIGINT) AS max_k
+        FROM e GROUP BY 1
     """,
     # same integer-kilo discipline as label_centroids: the Σ(n·x − s)²
     # > T·n² predicate is all-BIGINT on both sides, so the hash compare

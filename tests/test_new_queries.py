@@ -47,6 +47,7 @@ NEW_QUERIES = [
     "lang_source_rollup",
     "label_centroids",
     "embedding_outliers",
+    "json_props_stats",
     "urgent_orders_by_month",
     "events_profile",
     "funnel_events",
@@ -116,6 +117,7 @@ MIN_ROWS = {
     "lang_source_rollup": 50,
     "label_centroids": 640,
     "embedding_outliers": 10,
+    "json_props_stats": 5,
     "urgent_orders_by_month": 70,
     "events_profile": 4,
     "funnel_events": 1,
