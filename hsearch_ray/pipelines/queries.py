@@ -1983,6 +1983,72 @@ def q_mix_sources_docs(sf_dir: str):
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+# Train/val/test thresholds: floor(0.8 * 2^32) and floor(0.9 * 2^32).
+# Any integer threshold keeps the predicate exact — the hash is uniform
+# on [0, 2^32), so realized rates are 80% / 10% / 10% up to 1/2^32.
+_SPLIT_TRAIN = 3435973836
+_SPLIT_VAL = 3865470565
+
+
+def q_split_docs(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10) — the dataset-split
+    pass of a training pipeline done as a pure row function: a doc's
+    split is decided by where its multiplicative id-hash lands, so the
+    assignment is reproducible across runs, engines and corpus
+    shardings, disjoint by construction, and stable under corpus growth
+    (adding docs never moves an existing doc between splits — the
+    property a holdout set must have).  Embarrassingly parallel: one
+    vectorized predicate per batch, no shuffle, no state."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = (did.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) \
+            % np.uint64(1 << 32)
+        split = np.where(
+            h < np.uint64(_SPLIT_TRAIN), "train",
+            np.where(h < np.uint64(_SPLIT_VAL), "val", "test"),
+        )
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "split": pa.array(split, pa.string())})
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+# PPS sample scale: keep probability = value_c / _PPS_SCALE_C (capped
+# at 1) — events worth >= $200 always survive, a $2 event survives 1%
+# of the time.  Integer-exact: keep iff h * _PPS_SCALE_C < value_c<<32.
+_PPS_SCALE_C = 20000
+
+
+def q_weighted_sample_events(sf_dir: str):
+    """Deterministic probability-proportional-to-size Bernoulli sample —
+    the importance-sampling pass of a training-data pipeline (keep
+    high-value rows with certainty, thin the long tail) with NO random
+    state: row i survives iff h(id)/2^32 < value_i/scale, evaluated in
+    exact integer arithmetic (h*scale < value_c*2^32; both sides
+    < 2^48, no float rounding at the boundary).  Like all hash-sample
+    operators here it is shuffle-free, shard-placement-independent and
+    exactly DuckDB-expressible, so the sample is resumable and
+    auditable at 100 TB."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        vc = _cents(batch["value"].to_pandas())
+        h = (eid.astype(np.uint64) * np.uint64(_SAMPLE_MULT)) \
+            % np.uint64(1 << 32)
+        keep = h.astype(np.int64) * _PPS_SCALE_C < (vc.astype(np.int64) << 32)
+        sub = batch.filter(pa.array(keep))
+        return pa.table({
+            "event_id": sub["event_id"].cast(pa.int64()),
+            "user_id": sub["user_id"].cast(pa.int64()),
+            "value_c": pa.array(vc[keep], pa.int64()),
+        })
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
 _PACK_BUDGET = 512  # tokens per packed training sequence
 
 
@@ -2987,6 +3053,8 @@ QUERIES = {
     "ipc_roundtrip_docs": q_ipc_roundtrip_docs,
     "ann_topk_pq": q_ann_topk_pq,
     "text_search_docs": q_text_search_docs,
+    "split_docs": q_split_docs,
+    "weighted_sample_events": q_weighted_sample_events,
 }
 
 
@@ -3421,6 +3489,26 @@ ORACLE_SQL = {
         FROM events
         WHERE (CAST(event_id AS HUGEINT) * {_SAMPLE_MULT}) % 4294967296
               < {_SAMPLE_THRESHOLD}
+    """,
+    "split_docs": f"""
+        SELECT doc_id,
+               CASE WHEN h < {_SPLIT_TRAIN} THEN 'train'
+                    WHEN h < {_SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 (CAST(doc_id AS HUGEINT) * {_SAMPLE_MULT}) % 4294967296 AS h
+          FROM documents
+        )
+    """,
+    "weighted_sample_events": f"""
+        SELECT event_id, user_id, CAST(value_c AS BIGINT) AS value_c FROM (
+          SELECT event_id, user_id,
+                 CAST(floor(value*100 + 0.5) AS HUGEINT) AS value_c,
+                 (CAST(event_id AS HUGEINT) * {_SAMPLE_MULT}) % 4294967296 AS h
+          FROM events
+        )
+        WHERE h * {_PPS_SCALE_C} < value_c * 4294967296
     """,
     "cap_per_source_docs": f"""
         SELECT source, doc_id, rnk FROM (

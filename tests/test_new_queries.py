@@ -7,6 +7,7 @@ the driver testdata and compares with the driver's exact discipline
 """
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -54,6 +55,8 @@ NEW_QUERIES = [
     "streaming_session_stats",
     "ipc_roundtrip_docs",
     "text_search_docs",
+    "split_docs",
+    "weighted_sample_events",
     # every remaining oracle-bearing query (driver-era set), so the
     # suite — not only the per-round driver run — guards ALL oracles
     "ann_topk",
@@ -174,6 +177,47 @@ def test_text_search_hit_contract(ray_session):
     assert (df["jaccard"] >= Q._SEARCH_THRESHOLD - 1e-9).all()
     assert (df["query_id"] % Q._SEARCH_MOD == Q._SEARCH_REM).all()
     assert (df["query_id"] != df["hit_id"]).all()
+
+
+def test_split_docs_properties(ray_session):
+    """Split invariants beyond oracle parity: total+disjoint cover of
+    the corpus, ~80/10/10 rates, and growth stability — a doc's split
+    depends only on its id, so adding docs never moves the holdout."""
+    from hsearch_ray.pipelines import queries as Q
+
+    df = Q.QUERIES["split_docs"](SF).to_pandas()
+    assert df["doc_id"].is_unique
+    assert set(df["split"]) <= {"train", "val", "test"}
+    frac = df["split"].value_counts(normalize=True)
+    assert frac.get("train", 0) > 0.7
+    # growth stability: recompute on the first half only — assignments
+    # of those docs are identical to their full-corpus assignments
+    half = df[df["doc_id"] < df["doc_id"].median()]
+    merged = half.merge(df, on="doc_id", suffixes=("_half", "_full"))
+    assert (merged["split_half"] == merged["split_full"]).all()
+
+
+def test_weighted_sample_pps_properties(ray_session):
+    """PPS invariants beyond oracle parity: certainty stratum (value >=
+    scale always kept), monotone keep rate in value, determinism."""
+    from hsearch_ray.pipelines import queries as Q
+
+    events = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_id", "value"])
+    out = Q.QUERIES["weighted_sample_events"](SF).to_pandas()
+    kept = set(out["event_id"])
+    vc = (events["value"] * 100 + 0.5).apply(int)
+    certain = set(events.loc[vc >= Q._PPS_SCALE_C, "event_id"])
+    assert certain <= kept
+    # keep rate of the top value quartile exceeds the bottom quartile
+    lo, hi = events["value"].quantile([0.25, 0.75])
+    lo_ids = events.loc[events["value"] <= lo, "event_id"]
+    hi_ids = events.loc[events["value"] >= hi, "event_id"]
+    rate = lambda ids: np.mean([i in kept for i in ids])  # noqa: E731
+    assert rate(hi_ids) > rate(lo_ids)
+    out2 = Q.QUERIES["weighted_sample_events"](SF).to_pandas()
+    pd.testing.assert_frame_equal(out.sort_values("event_id", ignore_index=True),
+                                  out2.sort_values("event_id", ignore_index=True))
 
 
 def test_cap_per_source_properties(ray_session):
