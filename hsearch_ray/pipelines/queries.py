@@ -2971,6 +2971,70 @@ def q_ipc_roundtrip_docs(sf_dir: str):
     return ds.map_batches(_counts, batch_format="pandas", batch_size=4096)
 
 
+def q_media_features_docs(sf_dir: str):
+    """Multimodal featurize pipeline, driver-visible end to end: a
+    deterministic media table (REAL WAV/PNG codec bytes + one honest
+    video stub, derived only from doc_id) -> actor-pool MediaFeaturizer
+    (decode once per payload, 64-dim projection; model load in
+    __init__) -> per-row digest + integer feature norm.  Rows-only BY
+    DESIGN: binary codecs have no SQL oracle; the decoders and the
+    featurizer are pinned by round-trip pytests instead
+    (test_multimodal.py).  Every stage is map_batches with SMALL
+    batches (payload-sized memory rule); nothing touches the driver."""
+    from hsearch_ray.stages import multimodal
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    feats = multimodal.featurize_media(
+        multimodal.synthetic_media_from_docs(ds), concurrency=(1, 2)
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        f = np.asarray(batch["feature"].to_pandas().tolist(),
+                       dtype=np.float32) if batch.num_rows else \
+            np.zeros((0, multimodal.FEATURE_DIM), np.float32)
+        norm_ppm = np.floor(
+            np.sqrt((f.astype(np.float64) ** 2).sum(axis=1)) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "mime": batch["mime"].cast(pa.string()),
+            "decoded": batch["decoded"],
+            "digest": batch["digest"],
+            "feat_norm_ppm": pa.array(norm_ppm, pa.int64()),
+        })
+
+    return feats.map_batches(_final, batch_format="pyarrow", batch_size=256)
+
+
+def q_frame_sample_docs(sf_dir: str):
+    """Video frame-sampling plumbing (M8 1->N explosion over media):
+    every video/mp4 row of the synthetic media table explodes to
+    ceil(n_frames/10) sampled-frame rows with the parent digest
+    threaded through.  Rows-only BY DESIGN (no SQL video codec); the
+    explosion arithmetic is pinned by test_frame_sample_explosion."""
+    from hsearch_ray.stages import multimodal
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    def _videos(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.equal(batch["mime"], "video/mp4"))
+
+    media = multimodal.synthetic_media_from_docs(ds).map_batches(
+        _videos, batch_format="pyarrow", batch_size=256
+    )
+    frames = multimodal.frame_sample(media, every_n=10)
+
+    def _final(batch: pa.Table) -> pa.Table:
+        fr = batch["frame"].to_pylist()
+        return pa.table({
+            "digest": batch["digest"],
+            "frame_no": batch["frame_no"],
+            "frame_bytes": pa.array([len(x) for x in fr], pa.int64()),
+        })
+
+    return frames.map_batches(_final, batch_format="pyarrow")
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -3055,6 +3119,8 @@ QUERIES = {
     "text_search_docs": q_text_search_docs,
     "split_docs": q_split_docs,
     "weighted_sample_events": q_weighted_sample_events,
+    "media_features_docs": q_media_features_docs,
+    "frame_sample_docs": q_frame_sample_docs,
 }
 
 

@@ -279,3 +279,88 @@ def frame_sample(ds, every_n: int = 10, batch_size: int = 64):
         )
 
     return ds.map_batches(sample, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ------------------------------------------------------------- media encoders
+#
+# The write-side counterparts of the decoders above (and the generators
+# for the deterministic synthetic media table the container needs — no
+# real media files ship with the testdata, per the no-external-data
+# rule).  Both encode formats the decoders genuinely parse, so the
+# query-level pipeline round-trips real codec bytes end to end.
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float32 [-1, 1] (or int16) mono -> PCM16 WAV bytes (stdlib wave)."""
+    if samples.dtype != np.int16:
+        samples = np.clip(samples, -1.0, 1.0)
+        samples = (samples * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def encode_png_gray(img: np.ndarray) -> bytes:
+    """uint8 (H, W) grayscale -> PNG bytes (zlib, filter 0 per scanline)."""
+    h, w = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = np.concatenate(
+        [np.concatenate(([0], row)) for row in img.astype(np.uint8)]
+    ).astype(np.uint8).tobytes()
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def synthetic_media_from_docs(ds, batch_size: int = 256):
+    """documents -> deterministic (doc_id, media, mime, meta) table: WAV
+    for doc_id%3==0, PNG for %3==1, a fake-codec video/mp4 payload for
+    %3==2 (the honest-stub mime — exercises the _fake_decode arm).
+    Payload bytes derive ONLY from doc_id (splitmix64 stream), so the
+    table is identical across runs, engines and shardings.  Per-row
+    encoder loop is fine here: this is the synthetic SOURCE, not a hot
+    stage — a real deployment reads media bytes from storage."""
+
+    def synth(batch: pa.Table) -> pa.Table:
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads, mimes, metas = [], [], []
+        for did in dids:
+            n = 192 + int(did) % 64
+            base = (int(did) * 0x9E3779B97F4A7C15) % (1 << 64)  # wrap, warn-free
+            stream = H.splitmix64(
+                np.uint64(base) + np.arange(n, dtype=np.uint64)
+            )
+            b = (stream & np.uint64(0xFFFF)).astype(np.int64)
+            if did % 3 == 0:
+                pcm = ((b - 32768) / 32768.0).astype(np.float32)
+                payloads.append(encode_wav(pcm))
+                mimes.append("audio/wav")
+                metas.append(json.dumps({"sample_rate": 8000, "n": n}))
+            elif did % 3 == 1:
+                img = (b[:64] & 0xFF).astype(np.uint8).reshape(8, 8)
+                payloads.append(encode_png_gray(img))
+                mimes.append("image/png")
+                metas.append(json.dumps({"width": 8, "height": 8}))
+            else:
+                payloads.append((stream.astype("<u8")).tobytes())
+                mimes.append("video/mp4")
+                metas.append(json.dumps({"n_frames": 20 + int(did) % 30}))
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "media": pa.array(payloads, pa.large_binary()),
+                "mime": pa.array(mimes, pa.string()),
+                "meta": pa.array(metas, pa.string()),
+            }
+        )
+
+    return ds.map_batches(synth, batch_format="pyarrow", batch_size=batch_size)

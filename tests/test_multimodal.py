@@ -8,6 +8,7 @@ import wave
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -221,3 +222,35 @@ def test_resize_images(ray_session):
     want = resize_nearest(decode_png(png), 4, 4).astype(np.float32).ravel()
     np.testing.assert_allclose(by_ok[True]["pixels"], want, atol=1e-7)
     assert len(by_ok[False]["pixels"]) == 0  # audio is not a pixel grid
+
+
+def test_media_features_query_contract(ray_session):
+    """Driver-visible multimodal query: every doc gets a media row, the
+    REAL-codec mimes (wav/png) and the fake-codec arm all decode, the
+    digest/feature pipeline is deterministic across runs."""
+    from hsearch_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["media_features_docs"]("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert set(df["mime"]) == {"audio/wav", "image/png", "video/mp4"}
+    assert df["decoded"].all()  # all three arms decode (real or stub)
+    assert (df.loc[df["mime"] != "video/mp4", "feat_norm_ppm"] > 0).all()
+    df2 = QUERIES["media_features_docs"]("/root/testdata/sf0.001").to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id", ignore_index=True),
+        df2.sort_values("doc_id", ignore_index=True),
+    )
+
+
+def test_frame_sample_query_explosion(ray_session):
+    """1->N frame explosion matches the synthetic metadata exactly:
+    ceil(n_frames/10) rows per video doc."""
+    from hsearch_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["frame_sample_docs"]("/root/testdata/sf0.001").to_pandas()
+    n_videos = sum(1 for d in range(500) if d % 3 == 2)
+    expected = sum(-(-(20 + d % 30) // 10) for d in range(500) if d % 3 == 2)
+    assert df["digest"].nunique() == n_videos
+    assert len(df) == expected
+    assert (df["frame_no"] % 10 == 0).all()
+    assert (df["frame_bytes"] > 0).all()
