@@ -2989,9 +2989,12 @@ def q_media_features_docs(sf_dir: str):
     )
 
     def _final(batch: pa.Table) -> pa.Table:
-        f = np.asarray(batch["feature"].to_pandas().tolist(),
-                       dtype=np.float32) if batch.num_rows else \
-            np.zeros((0, multimodal.FEATURE_DIM), np.float32)
+        # FixedSizeList -> (n, dim) float32 view, zero-copy via the
+        # flattened values buffer
+        col = batch["feature"].combine_chunks()
+        f = col.flatten().to_numpy(zero_copy_only=False).reshape(
+            batch.num_rows, multimodal.FEATURE_DIM
+        ).astype(np.float32, copy=False)
         norm_ppm = np.floor(
             np.sqrt((f.astype(np.float64) ** 2).sum(axis=1)) * 1e6 + 0.5
         ).astype(np.int64)
