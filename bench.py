@@ -245,6 +245,8 @@ def run_bench() -> dict:
         bench_q("active_users_hourly", Q.q_active_users_hourly)
         bench_q("funnel_events", Q.q_funnel_events)
         bench_q("label_centroids", Q.q_label_centroids)
+        bench_q("user_running_value", Q.q_user_running_value)
+        bench_q("approx_quantiles_events", Q.q_approx_quantiles_events)
 
     result = {
         "metric": "dedup_pipeline_sec",

@@ -3038,6 +3038,63 @@ def q_frame_sample_docs(sf_dir: str):
     return frames.map_batches(_final, batch_format="pyarrow")
 
 
+def q_user_running_value(sf_dir: str):
+    """Per-user running revenue — the one window-function family not
+    yet covered: the cumulative ``SUM(...) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)``.  Implemented as a SEGMENTED distributed
+    prefix scan (stages/events.py::grouped_running_sum): one sort, one
+    O(blocks) mark pass to the driver, one broadcast-offset pass B —
+    no per-user shuffle, nothing corpus-sized on the driver, output
+    independent of block boundaries.  The building block for running
+    balances, cumulative token budgets and per-source quota tracking
+    at 100-TB scale."""
+    from hsearch_ray.stages.events import grouped_running_sum
+
+    return grouped_running_sum(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"])
+    )
+
+
+def q_approx_quantiles_events(sf_dir: str):
+    """One-pass mergeable QUANTILE SUMMARY over the event values — the
+    sketch complement of the exact histogram-recursion order statistic
+    (`median_event_value`/`p90_event_value`): each block contributes
+    every k-th order statistic of its sorted values with weight k
+    (k = ceil(n_b/1024); the uniform epsilon-summary of Manku,
+    Rajagopalan & Lindsay, SIGMOD'98), the driver merges the weighted
+    samples, and any rank query is answered within sum_b k_b <= n/1024
+    + blocks ranks — ONE pass, no shuffle, O(blocks x 1024) driver
+    rows, where the exact recursion needs log passes over the data.
+    Approximate by design -> rows-only driver check; the rank-error
+    bound and the merge law are pinned by pytest.  Output: one row per
+    requested quantile (q_ppm, value_cents)."""
+    from hsearch_ray.stages.sketches import (
+        quantile_summary_partial,
+        quantile_summary_query,
+    )
+
+    qs = (0.25, 0.50, 0.75, 0.90, 0.99)
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        v, w = quantile_summary_partial(_cents(df["value"]), 1024)
+        return pd.DataFrame({"v": v, "w": w})
+
+    rows = ds.map_batches(_partial, batch_format="pandas",
+                          batch_size=8192).to_pandas()
+    if rows.empty:
+        return pd.DataFrame({"q_ppm": pd.Series([], dtype="int64"),
+                             "value_cents": pd.Series([], dtype="int64")})
+    est = quantile_summary_query(
+        rows["v"].to_numpy(np.int64), rows["w"].to_numpy(np.int64), qs
+    )
+    return pd.DataFrame({
+        "q_ppm": pd.Series([int(q * 1_000_000) for q in qs], dtype="int64"),
+        "value_cents": pd.Series(est.astype(np.int64), dtype="int64"),
+    })
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -3124,6 +3181,8 @@ QUERIES = {
     "weighted_sample_events": q_weighted_sample_events,
     "media_features_docs": q_media_features_docs,
     "frame_sample_docs": q_frame_sample_docs,
+    "user_running_value": q_user_running_value,
+    "approx_quantiles_events": q_approx_quantiles_events,
 }
 
 
@@ -4093,3 +4152,14 @@ WHERE CAST(c AS DOUBLE) / (sq.n + sb.n - c) >= {_SEARCH_THRESHOLD}
 # The IPC round-trip recomputes the same counts as the JSONL
 # round-trip from a different wire format; same parquet-side oracle.
 ORACLE_SQL["ipc_roundtrip_docs"] = ORACLE_SQL["jsonl_token_count_docs"]
+
+# Cumulative window function: the segmented distributed prefix scan's
+# oracle is the textbook SUM OVER (PARTITION BY ... ORDER BY ...) with
+# the same per-row integer-cents discipline.
+ORACLE_SQL["user_running_value"] = """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+    FROM events
+"""

@@ -706,3 +706,102 @@ def funnel_counts(events_ds, stages=("view", "click", "purchase")):
     total = {c: 0 for c in cols} if pdf.empty else pdf[cols].sum()
     return pd.DataFrame({c: pd.Series([int(total[c])], dtype="int64")
                          for c in cols})
+
+
+_RUNNING_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("user_id", pa.int64()),
+     ("running_cents", pa.int64())]
+)
+
+
+def grouped_running_sum(events_ds):
+    """Per-partition running total — the cumulative window function
+    ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS
+    UNBOUNDED PRECEDING)`` — as a SEGMENTED distributed prefix scan.
+
+    Physical plan (the ``distributed_exclusive_scan`` discipline with a
+    per-user reset): ONE distributed sort by (user_id, ts, event_id) +
+    materialize (blocks then cover disjoint, stable key ranges); pass A
+    reduces each block to ONE mark row — its first key tuple, its last
+    user, and the block-local sums of its first and last users' rows;
+    the driver walks the O(blocks) marks in key order carrying at most
+    one (user, prefix) pair across each boundary (after the sort, only
+    a block's FIRST user can continue from the previous block); pass B
+    adds the broadcast per-block offset to the first user's block-local
+    cumulative sums.  Only O(blocks) rows ever reach the driver and the
+    output is independent of block boundaries, hence identical at any
+    parallelism level.  Values flow as integer cents (driver-contract
+    float discipline), so the DuckDB window oracle hash-matches.
+    """
+    import ray
+
+    narrow = (
+        events_ds.map_batches(_prep_events, batch_format="pyarrow")
+        .sort(["user_id", "ts_us", "event_id"])
+        .materialize()
+    )
+
+    _MARK_SCHEMA = pa.schema(
+        [("user_id", pa.int64()), ("ts_us", pa.int64()),
+         ("event_id", pa.int64()), ("last_user", pa.int64()),
+         ("first_sum", pa.int64()), ("last_sum", pa.int64())]
+    )
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _MARK_SCHEMA.empty_table()
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        vc = batch["value_c"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array([int(user[0])], pa.int64()),
+            "ts_us": pa.array([int(batch["ts_us"][0].as_py())], pa.int64()),
+            "event_id": pa.array(
+                [int(batch["event_id"][0].as_py())], pa.int64()),
+            "last_user": pa.array([int(user[-1])], pa.int64()),
+            "first_sum": pa.array(
+                [int(vc[user == user[0]].sum())], pa.int64()),
+            "last_sum": pa.array(
+                [int(vc[user == user[-1]].sum())], pa.int64()),
+        })
+
+    marks = narrow.map_batches(
+        _mark, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if not marks.empty:
+        marks = marks.sort_values(
+            ["user_id", "ts_us", "event_id"]
+        ).reset_index(drop=True)
+    offsets: dict[tuple[int, int, int], int] = {}
+    carry_user, carry = None, 0
+    for fu, fts, feid, lu, fs, ls in marks.itertuples(index=False, name=None):
+        off = carry if fu == carry_user else 0
+        offsets[(int(fu), int(fts), int(feid))] = off
+        # only the last user's prefix can cross the next boundary
+        carry_user = int(lu)
+        carry = off + int(fs) if fu == lu else int(ls)
+    ref = ray.put(offsets)
+
+    def _run(batch: pa.Table, ref=ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return _RUNNING_SCHEMA.empty_table()
+        offs = ray.get(ref)
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        vc = batch["value_c"].to_numpy(zero_copy_only=False).astype(I64)
+        base = offs[(int(user[0]), int(ts[0]), int(eid[0]))]
+        cum = np.cumsum(vc)
+        newseg = np.empty(user.size, dtype=bool)
+        newseg[0] = True
+        newseg[1:] = user[1:] != user[:-1]
+        first_idx = np.flatnonzero(newseg)
+        seg_id = np.cumsum(newseg) - 1
+        running = cum - (cum - vc)[first_idx][seg_id]
+        running[seg_id == 0] += base
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(user, pa.int64()),
+            "running_cents": pa.array(running.astype(I64), pa.int64()),
+        })
+
+    return narrow.map_batches(_run, batch_format="pyarrow", batch_size=None)

@@ -72,3 +72,57 @@ def hll_estimate(regs: np.ndarray) -> int:
         if zeros:
             est = m * np.log(m / zeros)
     return int(round(est))
+
+
+I64 = np.int64
+
+
+def quantile_summary_partial(
+    values: np.ndarray, max_samples: int = 1024
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block epsilon-approximate quantile summary: sort the block
+    and keep every k-th order statistic with weight k, where
+    k = ceil(n/max_samples) (a trailing remainder r attaches to the
+    block maximum with weight r) — the uniform one-per-k summary of
+    Manku, Rajagopalan & Lindsay (SIGMOD 1998).  Any rank inside the
+    block is answered within k, and because blocks PARTITION the data,
+    merged summaries answer any global rank within
+    sum_b k_b <= n/max_samples + n_blocks — the mergeable-aggregate
+    property that makes this a legal one-pass distributed quantile
+    (contrast the exact multi-pass histogram recursion).
+
+    Returns (sample values ascending, int64 weights); weights sum to n.
+    """
+    v = np.asarray(values)
+    if v.size == 0:
+        return np.empty(0, v.dtype), np.empty(0, I64)
+    a = np.sort(v)
+    n = a.size
+    k = -(-n // max_samples)  # ceil(n / max_samples)
+    full = n // k
+    idx = np.arange(1, full + 1, dtype=np.int64) * k - 1
+    w = np.full(full, k, I64)
+    r = n - full * k
+    if r:
+        idx = np.append(idx, n - 1)
+        w = np.append(w, I64(r))
+    return a[idx], w
+
+
+def quantile_summary_query(
+    vals: np.ndarray, weights: np.ndarray, qs
+) -> np.ndarray:
+    """Answer quantile queries from merged weighted samples: sort by
+    value, cumulative-sum the weights, and return for each q the
+    smallest sample whose cumulative weight reaches ceil(q * n) — the
+    lower weighted-quantile convention, deterministic for a fixed
+    sample multiset."""
+    order = np.argsort(vals, kind="stable")
+    v = np.asarray(vals)[order]
+    cw = np.cumsum(np.asarray(weights, I64)[order])
+    n = int(cw[-1])
+    out = []
+    for q in qs:
+        target = min(n, max(1, int(np.ceil(float(q) * n))))
+        out.append(v[int(np.searchsorted(cw, target))])
+    return np.asarray(out)

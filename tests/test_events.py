@@ -185,3 +185,63 @@ def test_new_event_operators_handle_empty_input(ray_session):
     assert f.iloc[0].tolist() == [0, 0, 0, 0]
     s = stream_sessionize(ds)
     assert len(s) == 0
+
+
+def _ref_running(tbl):
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    df["vc"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts_us", "event_id"])
+    run = df.groupby("user_id")["vc"].cumsum()
+    return dict(zip(df["event_id"].astype(int), run.astype(int)))
+
+
+def test_grouped_running_sum_matches_reference_across_blocks(ray_session):
+    """The segmented prefix scan must be independent of block layout —
+    the 23-tiny-block run forces users to span many block boundaries
+    (the driver carry walk) and must equal the single-block run and the
+    pandas groupby-cumsum truth."""
+    import ray.data
+
+    from hsearch_ray.stages.events import grouped_running_sum
+
+    tbl = _events(n_users=7, n_events=600, seed=11)
+    want = _ref_running(tbl)
+    for ds in (ray.data.from_arrow(tbl), _many_blocks(tbl)):
+        got = grouped_running_sum(ds).to_pandas()
+        got_map = dict(zip(got["event_id"].astype(int),
+                           got["running_cents"].astype(int)))
+        assert got_map == want
+    # the fixture genuinely accumulates (not all singleton users)
+    assert max(want.values()) > 10 * min(want.values())
+
+
+def test_grouped_running_sum_single_user_spans_all_blocks(ray_session):
+    """Adversarial carry: ONE user across every block — every block
+    boundary must chain the carry (offset = prefix of all prior
+    blocks)."""
+    from hsearch_ray.stages.events import grouped_running_sum
+
+    n = 200
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 1_000_000,
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.full(n, 42, np.int64)),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(np.full(n, 1.0), pa.float64()),
+    })
+    got = grouped_running_sum(_many_blocks(tbl, n=20)).to_pandas()
+    got = got.sort_values("event_id")
+    assert (got["running_cents"].to_numpy()
+            == 100 * np.arange(1, n + 1)).all()
+
+
+def test_grouped_running_sum_empty_input(ray_session):
+    import ray.data
+
+    from hsearch_ray.stages.events import grouped_running_sum
+
+    empty = _events().slice(0, 0)
+    out = grouped_running_sum(ray.data.from_arrow(empty)).to_pandas()
+    assert len(out) == 0

@@ -57,6 +57,7 @@ NEW_QUERIES = [
     "text_search_docs",
     "split_docs",
     "weighted_sample_events",
+    "user_running_value",
     # every remaining oracle-bearing query (driver-era set), so the
     # suite — not only the per-round driver run — guards ALL oracles
     "ann_topk",
@@ -127,6 +128,7 @@ MIN_ROWS = {
     "streaming_session_stats": 800,
     "ipc_roundtrip_docs": 500,
     "text_search_docs": 100,
+    "user_running_value": 1000,
 }
 # driver-era queries: the oracle compare already pins EXACT row-count
 # equality; 1 here only guards the vacuously-empty case
@@ -765,3 +767,28 @@ def test_ipc_reader_validates(ray_session, tmp_path):
     with _pytest.raises(_ray.exceptions.RayTaskError,
                         match="required column"):
         read_ipc(str(tmp_path), required=("missing_col",)).materialize()
+
+
+def test_approx_quantiles_events_accuracy(ray_session):
+    """The one-pass quantile summary must land each estimate within the
+    advertised rank bound (n/1024 + blocks, asserted with 2x slack) of
+    the exact order statistic on the real events table, and be
+    deterministic across runs."""
+    import pyarrow.parquet as pq
+
+    from hsearch_ray.pipelines import queries as Q
+
+    df = Q.QUERIES["approx_quantiles_events"](SF)
+    again = Q.QUERIES["approx_quantiles_events"](SF)
+    pd.testing.assert_frame_equal(df, again)
+
+    vals = pq.read_table(f"{SF}/events.parquet", columns=["value"])
+    exact = np.sort(np.floor(
+        vals["value"].to_numpy() * 100 + 0.5).astype(np.int64))
+    n = exact.size
+    slack = 2 * (n // 1024 + 16 + 1)
+    for q_ppm, est in zip(df["q_ppm"], df["value_cents"]):
+        target = min(n, max(1, int(np.ceil(q_ppm / 1e6 * n))))
+        lo = np.searchsorted(exact, est, side="left") + 1
+        hi = np.searchsorted(exact, est, side="right")
+        assert lo - slack <= target <= hi + slack, (q_ppm, est)

@@ -237,3 +237,49 @@ def test_hll_bit_length_and_merge(hashes):
     k = len(hashes) // 2
     parts = np.stack([hll_partial(h[:k], p=6), hll_partial(h[k:], p=6)])
     assert (hll_merge(parts) == whole).all()
+
+
+@given(
+    st.lists(st.integers(-10**6, 10**6), min_size=0, max_size=3000),
+    st.integers(1, 7),
+    st.integers(4, 64),
+)
+@settings(max_examples=150, deadline=None)
+def test_quantile_summary_rank_error_bound(values, n_blocks, max_samples):
+    """The one-per-k block summary must answer every quantile within
+    the advertised rank bound sum_b ceil(n_b / max_samples) regardless
+    of how the data is partitioned into blocks, and weights must sum
+    to n (the mergeable-aggregate mass-conservation law)."""
+    from hsearch_ray.stages.sketches import (quantile_summary_partial,
+                                             quantile_summary_query)
+
+    v = np.array(values, dtype=np.int64)
+    if v.size == 0:
+        sv, sw = quantile_summary_partial(v, max_samples)
+        assert sv.size == 0 and sw.size == 0
+        return
+    cuts = np.linspace(0, v.size, n_blocks + 1).astype(int)
+    samples, weights, bound = [], [], 0
+    for i in range(n_blocks):
+        blk = v[cuts[i]:cuts[i + 1]]
+        if blk.size == 0:
+            continue
+        sv, sw = quantile_summary_partial(blk, max_samples)
+        assert int(sw.sum()) == blk.size
+        assert (np.diff(sv) >= 0).all()
+        samples.append(sv)
+        weights.append(sw)
+        bound += -(-blk.size // max_samples)  # per-block k = ceil(n_b/m)
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99, 1.0)
+    est = quantile_summary_query(np.concatenate(samples),
+                                 np.concatenate(weights), qs)
+    exact = np.sort(v)
+    n = v.size
+    for q, e in zip(qs, est):
+        target = min(n, max(1, int(np.ceil(q * n))))  # 1-based exact rank
+        # rank of the estimate in the exact order must be within the
+        # advertised bound (2x: one k_b for the sample spacing, one for
+        # the <=-vs-< tie rounding at the merge)
+        lo = np.searchsorted(exact, e, side="left") + 1
+        hi = np.searchsorted(exact, e, side="right")
+        assert lo - 2 * bound <= target <= hi + 2 * bound
