@@ -247,6 +247,7 @@ def run_bench() -> dict:
         bench_q("label_centroids", Q.q_label_centroids)
         bench_q("user_running_value", Q.q_user_running_value)
         bench_q("approx_quantiles_events", Q.q_approx_quantiles_events)
+        bench_q("bm25_search_docs", Q.q_bm25_search_docs)
 
     result = {
         "metric": "dedup_pipeline_sec",

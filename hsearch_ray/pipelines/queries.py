@@ -3038,6 +3038,122 @@ def q_frame_sample_docs(sf_dir: str):
     return frames.map_batches(_final, batch_format="pyarrow")
 
 
+# BM25 ranked retrieval: fixed multi-term query set (terms drawn from
+# the synthetic vocabulary), Okapi parameters, top-k per query.
+_BM25_QUERIES = (
+    (1, ("hash", "join", "merge")),
+    (2, ("window", "filter", "scan")),
+    (3, ("spark", "stream", "customer")),
+)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+def q_bm25_search_docs(sf_dir: str):
+    """BM25 ranked retrieval (Okapi BM25; Robertson & Walker, SIGIR'94)
+    — the lexical query-driven search operator: for each query, the
+    top-k docs by sum over query terms of
+    idf(t) * tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)).
+
+    Scale shape: the query-term set broadcasts (tiny by definition);
+    pass 1 emits O(terms) stat rows per block (doc count, token-length
+    sum, per-term document frequency) — no shuffle, the vocabulary
+    never leaves its block; pass 2 scores each batch against the
+    broadcast (idf, avgdl) and keeps a per-block top-k per query (the
+    grouped-top-k combiner), so the driver final sees at most
+    blocks x queries x k rows.  Float discipline: each per-term
+    contribution is quantized to integer MICRO-UNITS per row before
+    the cross-term sum, so neither ranking nor the oracle value hash
+    depends on float summation order."""
+    import math
+
+    terms = sorted({t for _, ts in _BM25_QUERIES for t in ts})
+    tref = ray.put(tuple(terms))
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tok(df: pd.DataFrame):
+        toks = df["text"].str.findall(r"\S+")
+        dl = toks.str.len().to_numpy(dtype=np.int64)
+        flat = (np.concatenate(toks.to_numpy()) if len(df)
+                else np.empty(0, dtype=object))
+        didx = np.repeat(np.arange(len(df), dtype=np.int64), dl)
+        return flat, didx, dl
+
+    def _stats(batch: pa.Table, tref=tref) -> pa.Table:
+        ts = ray.get(tref)
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        flat, didx, dl = _tok(df)
+        dfs = [int(np.unique(didx[flat == t]).size) for t in ts]
+        return pa.table({
+            "term": pa.array([""] + list(ts), pa.string()),
+            "n": pa.array([len(df)] + dfs, pa.int64()),
+            "dl": pa.array([int(dl.sum())] + [0] * len(ts), pa.int64()),
+        })
+
+    sp = ds.map_batches(_stats, batch_format="pyarrow",
+                        batch_size=2048).to_pandas()
+    empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          "doc_id": pd.Series(dtype="int64"),
+                          "score_ppm": pd.Series(dtype="int64")})
+    if sp.empty:
+        return empty
+    is_stat = sp["term"] == ""
+    n_docs = int(sp.loc[is_stat, "n"].sum())
+    if n_docs == 0:
+        return empty
+    avgdl = int(sp.loc[is_stat, "dl"].sum()) / n_docs
+    dfreq = sp.loc[~is_stat].groupby("term")["n"].sum()
+    idf = {t: math.log(1.0 + (n_docs - int(df) + 0.5) / (int(df) + 0.5))
+           for t, df in dfreq.items() if int(df) > 0}
+    bref = ray.put((avgdl, idf))
+
+    def _score(batch: pa.Table, bref=bref) -> pd.DataFrame:
+        avgdl, idf = ray.get(bref)
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        flat, didx, dl = _tok(df)
+        docs = df["doc_id"].to_numpy(dtype=np.int64)
+        norm = _BM25_K1 * (0.25 + 0.75 * dl / avgdl)  # 1-b=0.25, b=0.75
+        out = []
+        for qid, qterms in _BM25_QUERIES:
+            ppm = np.zeros(len(df), np.int64)
+            matched = np.zeros(len(df), bool)
+            for t in qterms:
+                if t not in idf:
+                    continue
+                tf = np.bincount(didx[flat == t], minlength=len(df))
+                matched |= tf > 0
+                # exact SQL expression order: ((idf*(tf*2.2))/denom)*1e6+0.5
+                # (2.2 as a LITERAL on both sides — not k1+1, whose float
+                # rounding could differ from the SQL constant)
+                c = np.floor(
+                    idf[t] * (tf * 2.2) / (tf + norm) * 1_000_000 + 0.5
+                )
+                ppm += c.astype(np.int64)
+            if not matched.any():
+                continue
+            top = pd.DataFrame({"query_id": qid, "doc_id": docs[matched],
+                                "score_ppm": ppm[matched]})
+            top = top.sort_values(["score_ppm", "doc_id"],
+                                  ascending=[False, True])
+            out.append(top.head(_BM25_TOPK))
+        return pd.concat(out, ignore_index=True) if out else empty.copy()
+
+    partials = ds.map_batches(_score, batch_format="pyarrow",
+                              batch_size=2048).to_pandas()
+    if partials.empty:
+        return empty
+    fin = (partials.sort_values(["score_ppm", "doc_id"],
+                                ascending=[False, True])
+           .groupby("query_id", sort=False).head(_BM25_TOPK)
+           .sort_values(["query_id", "score_ppm", "doc_id"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    return pd.DataFrame({"query_id": fin["query_id"].astype("int64"),
+                         "doc_id": fin["doc_id"].astype("int64"),
+                         "score_ppm": fin["score_ppm"].astype("int64")})
+
+
 def q_user_running_value(sf_dir: str):
     """Per-user running revenue — the one window-function family not
     yet covered: the cumulative ``SUM(...) OVER (PARTITION BY user_id
@@ -3183,6 +3299,7 @@ QUERIES = {
     "frame_sample_docs": q_frame_sample_docs,
     "user_running_value": q_user_running_value,
     "approx_quantiles_events": q_approx_quantiles_events,
+    "bm25_search_docs": q_bm25_search_docs,
 }
 
 
@@ -4162,4 +4279,51 @@ ORACLE_SQL["user_running_value"] = """
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
     FROM events
+"""
+
+# BM25: the VALUES-CTE query set is generated from _BM25_QUERIES so the
+# two sides can never drift; per-term contributions quantize to integer
+# micro-units BEFORE the cross-term sum (float-order-free hash).
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in ts
+)
+ORACLE_SQL["bm25_search_docs"] = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), q AS (
+  SELECT * FROM (VALUES {_BM25_VALUES}) AS v(query_id, term)
+), tf AS (
+  SELECT q.query_id, t.doc_id, t.term, count(*) AS tf
+  FROM toks t JOIN q ON t.term = q.term
+  GROUP BY 1, 2, 3
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks
+  WHERE term IN (SELECT term FROM q) GROUP BY term
+), contrib AS (
+  SELECT tf.query_id, tf.doc_id,
+         CAST(floor(
+           ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           * 1000000 + 0.5) AS BIGINT) AS c
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+), scored AS (
+  SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_ppm
+  FROM contrib GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_ppm FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score_ppm DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= {_BM25_TOPK}
 """

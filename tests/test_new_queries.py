@@ -58,6 +58,7 @@ NEW_QUERIES = [
     "split_docs",
     "weighted_sample_events",
     "user_running_value",
+    "bm25_search_docs",
     # every remaining oracle-bearing query (driver-era set), so the
     # suite — not only the per-round driver run — guards ALL oracles
     "ann_topk",
@@ -129,6 +130,7 @@ MIN_ROWS = {
     "ipc_roundtrip_docs": 500,
     "text_search_docs": 100,
     "user_running_value": 1000,
+    "bm25_search_docs": 30,
 }
 # driver-era queries: the oracle compare already pins EXACT row-count
 # equality; 1 here only guards the vacuously-empty case
@@ -792,3 +794,28 @@ def test_approx_quantiles_events_accuracy(ray_session):
         lo = np.searchsorted(exact, est, side="left") + 1
         hi = np.searchsorted(exact, est, side="right")
         assert lo - slack <= target <= hi + slack, (q_ppm, est)
+
+
+def test_bm25_ranking_contract(ray_session):
+    """Retrieval invariants beyond oracle parity: exactly top-k rows per
+    query in strictly ranked order, positive scores, and the BM25
+    saturation property — a doc stuffed with one query term must not
+    outrank the df-weighted multi-term structure (scores bounded by
+    sum of idf*(k1+1) micro-units)."""
+    import math
+
+    from hsearch_ray.pipelines import queries as Q
+
+    df = Q.QUERIES["bm25_search_docs"](SF)
+    qids = [qid for qid, _ in Q._BM25_QUERIES]
+    assert sorted(df["query_id"].unique()) == sorted(qids)
+    for qid, terms in Q._BM25_QUERIES:
+        g = df[df["query_id"] == qid]
+        assert len(g) == Q._BM25_TOPK
+        s = g["score_ppm"].to_numpy()
+        assert (s > 0).all()
+        assert (np.diff(s) <= 0).all()  # ranked descending
+        # saturation bound: per-term contribution < idf * (k1+1)
+        n = 500  # sf0.001 corpus size
+        cap = sum(math.log(1.0 + (n + 0.5) / 1.5) * 2.2 for _ in terms)
+        assert (s <= cap * 1_000_000).all()
