@@ -3038,6 +3038,90 @@ def q_frame_sample_docs(sf_dir: str):
     return frames.map_batches(_final, batch_format="pyarrow")
 
 
+# Snapshot-diff: deterministic old-corpus derivation knobs (added =
+# doc_id%7==0 new-only; changed = doc_id%11==0 carried different bytes;
+# removed = a synthetic old-only id family offset far above any real id).
+_DIFF_REMOVED_OFF = 1 << 40
+
+
+def q_corpus_diff_docs(sf_dir: str):
+    """Corpus SNAPSHOT DIFF (data versioning): classify every doc id
+    across two corpus versions as added / removed / changed / same —
+    the audit a training pipeline runs between crawl snapshots before
+    retraining or incremental dedup.  Both sides reduce per batch to
+    narrow (doc_id, 64-bit text hash) rows; the compare is a genuine
+    FULL OUTER distributed hash join (``Dataset.join`` — the one join
+    type not exercised elsewhere; neither side broadcasts, text never
+    enters the exchange), then a vectorized per-row status kernel.
+    The 'old' snapshot derives deterministically from the same table
+    (no external data; see _DIFF_REMOVED_OFF comment).  The oracle
+    classifies with md5 instead of the engine hash — statuses agree
+    because both hashes are injective on the corpus (the repo's
+    hash-collision argument)."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    def _hash_text(texts: pd.Series) -> np.ndarray:
+        return pl.from_pandas(texts.astype(str)).hash(seed=42) \
+            .to_numpy().view(np.int64)
+
+    def _new_side(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": did, "id_new": did,
+                             "h_new": _hash_text(df["text"])})
+
+    def _old_side(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].to_numpy(dtype=np.int64)
+        txt = df["text"].copy()
+        chg = did % 11 == 0
+        txt.loc[chg] = txt.loc[chg] + " legacy"
+        keep = did % 7 != 0
+        rem = did % 13 == 0
+        ids = np.concatenate([did[keep], did[rem] + _DIFF_REMOVED_OFF])
+        hs = np.concatenate([_hash_text(txt[keep]),
+                             _hash_text(df["text"][rem])])
+        return pd.DataFrame({"doc_id": ids, "id_old": ids, "h_old": hs})
+
+    new_ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_new_side, batch_format="pandas", batch_size=2048)
+    old_ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_old_side, batch_format="pandas", batch_size=2048)
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = new_ds.join(old_ds, join_type="full_outer",
+                         num_partitions=num_partitions, on=("doc_id",))
+
+    def _status(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()), ("status", pa.string())])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+
+        def _col(name):
+            c = batch[name]
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        # null-fill INSIDE Arrow (int64 with nulls -> float64 in numpy)
+        idn, ido = _col("id_new"), _col("id_old")
+        mn = np.asarray(idn.is_null())
+        mo = np.asarray(ido.is_null())
+        did = np.where(
+            mn,
+            pc.fill_null(ido, 0).to_numpy(zero_copy_only=False),
+            pc.fill_null(idn, 0).to_numpy(zero_copy_only=False),
+        ).astype(np.int64)
+        hn = pc.fill_null(_col("h_new"), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ho = pc.fill_null(_col("h_old"), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        status = np.where(mo, "added",
+                          np.where(mn, "removed",
+                                   np.where(hn != ho, "changed", "same")))
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "status": pa.array(status.astype(object),
+                                            pa.string())})
+
+    return joined.map_batches(_status, batch_format="pyarrow")
+
+
 # BM25 ranked retrieval: fixed multi-term query set (terms drawn from
 # the synthetic vocabulary), Okapi parameters, top-k per query.
 _BM25_QUERIES = (
@@ -3300,6 +3384,7 @@ QUERIES = {
     "user_running_value": q_user_running_value,
     "approx_quantiles_events": q_approx_quantiles_events,
     "bm25_search_docs": q_bm25_search_docs,
+    "corpus_diff_docs": q_corpus_diff_docs,
 }
 
 
@@ -4326,4 +4411,27 @@ SELECT query_id, doc_id, score_ppm FROM (
             ORDER BY score_ppm DESC, doc_id) AS rn
   FROM scored
 ) WHERE rn <= {_BM25_TOPK}
+"""
+
+# Snapshot diff: the oracle derives the identical old snapshot in SQL
+# and classifies by md5 equality (status-equivalent to the engine hash
+# under the repo's hash-collision argument).
+ORACLE_SQL["corpus_diff_docs"] = f"""
+WITH news AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), olds AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' legacy'
+                  ELSE text END) AS h
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + {_DIFF_REMOVED_OFF}, md5(text)
+  FROM documents WHERE doc_id % 13 = 0
+)
+SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN n.h <> o.h THEN 'changed'
+            ELSE 'same' END AS status
+FROM news n FULL OUTER JOIN olds o ON n.doc_id = o.doc_id
 """

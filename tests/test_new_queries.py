@@ -59,6 +59,7 @@ NEW_QUERIES = [
     "weighted_sample_events",
     "user_running_value",
     "bm25_search_docs",
+    "corpus_diff_docs",
     # every remaining oracle-bearing query (driver-era set), so the
     # suite — not only the per-round driver run — guards ALL oracles
     "ann_topk",
@@ -131,6 +132,7 @@ MIN_ROWS = {
     "text_search_docs": 100,
     "user_running_value": 1000,
     "bm25_search_docs": 30,
+    "corpus_diff_docs": 500,
 }
 # driver-era queries: the oracle compare already pins EXACT row-count
 # equality; 1 here only guards the vacuously-empty case
@@ -819,3 +821,24 @@ def test_bm25_ranking_contract(ray_session):
         n = 500  # sf0.001 corpus size
         cap = sum(math.log(1.0 + (n + 0.5) / 1.5) * 2.2 for _ in terms)
         assert (s <= cap * 1_000_000).all()
+
+
+def test_corpus_diff_status_contract(ray_session):
+    """Diff invariants beyond oracle parity: statuses partition the id
+    space exactly along the derivation rules — added = the %7 family,
+    removed = only the offset old-only family, changed = the %11 family
+    minus the added set, everything else same."""
+    from hsearch_ray.pipelines import queries as Q
+
+    df = Q.QUERIES["corpus_diff_docs"](SF).to_pandas()
+    assert df["doc_id"].is_unique
+    by = {s: set(df.loc[df["status"] == s, "doc_id"]) for s in
+          ("added", "removed", "changed", "same")}
+    assert by["added"] == {d for d in df["doc_id"]
+                           if d < Q._DIFF_REMOVED_OFF and d % 7 == 0}
+    assert all(d >= Q._DIFF_REMOVED_OFF for d in by["removed"])
+    assert all((d - Q._DIFF_REMOVED_OFF) % 13 == 0 for d in by["removed"])
+    assert by["changed"] == {d for d in df["doc_id"]
+                             if d < Q._DIFF_REMOVED_OFF
+                             and d % 11 == 0 and d % 7 != 0}
+    assert len(by["same"]) > 0
