@@ -3038,6 +3038,91 @@ def q_frame_sample_docs(sf_dir: str):
     return frames.map_batches(_final, batch_format="pyarrow")
 
 
+_CHUNK_SIZE = 16
+_CHUNK_STRIDE = 12
+
+
+def q_chunk_docs(sf_dir: str):
+    """Sliding-window token chunking (the RAG / long-context eval pass:
+    window ``_CHUNK_SIZE`` tokens, stride ``_CHUNK_STRIDE``) — the
+    per-doc OVERLAPPING sibling of ``pack_sequences_docs``' global
+    concat-and-chunk.  Pure 1->N vectorized explode inside one
+    ``map_batches``: chunk counts from token counts, ids/starts from
+    one arange + repeat — embarrassingly parallel, no shuffle, no
+    state.  Output: (doc_id, chunk_id, start_tok, n_toks)."""
+    toks = textstats.token_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = n > 0
+        did, n = did[pos], n[pos]
+        nchunks = (n - 1) // _CHUNK_STRIDE + 1
+        doc_rep = np.repeat(did, nchunks)
+        tot = int(nchunks.sum())
+        # intra-doc chunk index: global arange minus each doc's offset
+        off = np.concatenate([[0], np.cumsum(nchunks)[:-1]])
+        cid = np.arange(tot, dtype=np.int64) - np.repeat(off, nchunks)
+        start = cid * _CHUNK_STRIDE
+        ntok = np.minimum(_CHUNK_SIZE, np.repeat(n, nchunks) - start)
+        return pa.table({
+            "doc_id": pa.array(doc_rep, pa.int64()),
+            "chunk_id": pa.array(cid, pa.int64()),
+            "start_tok": pa.array(start, pa.int64()),
+            "n_toks": pa.array(ntok, pa.int64()),
+        })
+
+    return toks.map_batches(_explode, batch_format="pyarrow")
+
+
+def q_approx_quantiles_by_type(sf_dir: str):
+    """GROUPED one-pass quantile summary — per event type, the p50/p90
+    of value from the mergeable per-block summaries (the sketch
+    complement of the exact ``median_value_by_type``): each block emits
+    one weighted-sample set per group it sees (groups x 1024 rows max),
+    the driver merges per group — one pass, no shuffle, exactly the
+    HLL/summary combiner law applied per key.  Approximate by design ->
+    rows-only; accuracy pinned per group by pytest.  Output: one row
+    per (event_type, q_ppm)."""
+    from hsearch_ray.stages.sketches import (
+        quantile_summary_partial,
+        quantile_summary_query,
+    )
+
+    qs = (0.50, 0.90)
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, g in df.groupby("event_type", sort=False):
+            v, w = quantile_summary_partial(_cents(g["value"]), 1024)
+            out.append(pd.DataFrame({"event_type": et, "v": v, "w": w}))
+        return pd.concat(out, ignore_index=True) if out else \
+            pd.DataFrame({"event_type": pd.Series(dtype=object),
+                          "v": pd.Series(dtype="int64"),
+                          "w": pd.Series(dtype="int64")})
+
+    rows = ds.map_batches(_partial, batch_format="pandas",
+                          batch_size=8192).to_pandas()
+    out = {"event_type": [], "q_ppm": [], "value_cents": []}
+    if not rows.empty:
+        for et, g in rows.groupby("event_type", sort=True):
+            est = quantile_summary_query(
+                g["v"].to_numpy(np.int64), g["w"].to_numpy(np.int64), qs
+            )
+            for q, e in zip(qs, est):
+                out["event_type"].append(et)
+                out["q_ppm"].append(int(q * 1_000_000))
+                out["value_cents"].append(int(e))
+    return pd.DataFrame({
+        "event_type": pd.Series(out["event_type"], dtype=object),
+        "q_ppm": pd.Series(out["q_ppm"], dtype="int64"),
+        "value_cents": pd.Series(out["value_cents"], dtype="int64"),
+    })
+
+
 # Snapshot-diff: deterministic old-corpus derivation knobs (added =
 # doc_id%7==0 new-only; changed = doc_id%11==0 carried different bytes;
 # removed = a synthetic old-only id family offset far above any real id).
@@ -3385,6 +3470,8 @@ QUERIES = {
     "approx_quantiles_events": q_approx_quantiles_events,
     "bm25_search_docs": q_bm25_search_docs,
     "corpus_diff_docs": q_corpus_diff_docs,
+    "chunk_docs": q_chunk_docs,
+    "approx_quantiles_by_type": q_approx_quantiles_by_type,
 }
 
 
@@ -4434,4 +4521,19 @@ SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
             WHEN n.h <> o.h THEN 'changed'
             ELSE 'same' END AS status
 FROM news n FULL OUTER JOIN olds o ON n.doc_id = o.doc_id
+"""
+
+# Sliding-window chunker: correlated generate_series reproduces the
+# same (start while start < n) window schedule.
+ORACLE_SQL["chunk_docs"] = rf"""
+WITH dl AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n FROM documents
+), c AS (
+  SELECT doc_id, n,
+         unnest(range(0, (n - 1) // {_CHUNK_STRIDE} + 1)) AS chunk_id
+  FROM dl WHERE n > 0
+)
+SELECT doc_id, chunk_id, chunk_id * {_CHUNK_STRIDE} AS start_tok,
+       LEAST({_CHUNK_SIZE}, n - chunk_id * {_CHUNK_STRIDE}) AS n_toks
+FROM c
 """

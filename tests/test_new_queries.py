@@ -60,6 +60,7 @@ NEW_QUERIES = [
     "user_running_value",
     "bm25_search_docs",
     "corpus_diff_docs",
+    "chunk_docs",
     # every remaining oracle-bearing query (driver-era set), so the
     # suite — not only the per-round driver run — guards ALL oracles
     "ann_topk",
@@ -133,6 +134,7 @@ MIN_ROWS = {
     "user_running_value": 1000,
     "bm25_search_docs": 30,
     "corpus_diff_docs": 500,
+    "chunk_docs": 2000,
 }
 # driver-era queries: the oracle compare already pins EXACT row-count
 # equality; 1 here only guards the vacuously-empty case
@@ -842,3 +844,29 @@ def test_corpus_diff_status_contract(ray_session):
                              if d < Q._DIFF_REMOVED_OFF
                              and d % 11 == 0 and d % 7 != 0}
     assert len(by["same"]) > 0
+
+
+def test_approx_quantiles_by_type_accuracy(ray_session):
+    """Grouped sketch accuracy: each per-group estimate lands within the
+    advertised rank bound of the exact per-group order statistic;
+    deterministic across runs."""
+    from hsearch_ray.pipelines import queries as Q
+
+    df = Q.QUERIES["approx_quantiles_by_type"](SF)
+    again = Q.QUERIES["approx_quantiles_by_type"](SF)
+    pd.testing.assert_frame_equal(df, again)
+
+    events = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "value"])
+    events["vc"] = np.floor(
+        events["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    for (et, q_ppm), est in zip(
+        zip(df["event_type"], df["q_ppm"]), df["value_cents"]
+    ):
+        g = np.sort(events.loc[events["event_type"] == et, "vc"].to_numpy())
+        n = g.size
+        slack = 2 * (n // 1024 + 16 + 1)
+        target = min(n, max(1, int(np.ceil(q_ppm / 1e6 * n))))
+        lo = np.searchsorted(g, est, side="left") + 1
+        hi = np.searchsorted(g, est, side="right")
+        assert lo - slack <= target <= hi + slack, (et, q_ppm, est)
