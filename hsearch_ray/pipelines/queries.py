@@ -3054,11 +3054,18 @@ def q_chunk_docs(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"])
     )
 
+    _CHUNK_SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+         ("start_tok", pa.int64()), ("n_toks", pa.int64())]
+    )
+
     def _explode(batch: pa.Table) -> pa.Table:
         did = batch["doc_id"].to_numpy(zero_copy_only=False)
         n = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = n > 0
         did, n = did[pos], n[pos]
+        if did.size == 0:  # empty batch / all-empty docs
+            return _CHUNK_SCHEMA.empty_table()
         nchunks = (n - 1) // _CHUNK_STRIDE + 1
         doc_rep = np.repeat(did, nchunks)
         tot = int(nchunks.sum())

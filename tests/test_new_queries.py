@@ -9,6 +9,7 @@ the driver testdata and compares with the driver's exact discipline
 import duckdb
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -870,3 +871,26 @@ def test_approx_quantiles_by_type_accuracy(ray_session):
         lo = np.searchsorted(g, est, side="left") + 1
         hi = np.searchsorted(g, est, side="right")
         assert lo - slack <= target <= hi + slack, (et, q_ppm, est)
+
+
+def test_chunk_docs_empty_and_zero_token_docs(ray_session):
+    """The chunk explode must survive empty batches and all-empty docs
+    (the np.repeat size-mismatch edge), and cover every token of every
+    non-empty doc exactly once per window schedule."""
+    import ray.data
+
+    from hsearch_ray.pipelines import queries as Q
+
+    src = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["", "a b c", " ".join(["t"] * 40)]})
+    import pyarrow.parquet as pq
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(src), f"{d}/documents.parquet")
+        out = Q.QUERIES["chunk_docs"](d).to_pandas()
+    assert set(out["doc_id"]) == {2, 3}          # empty doc produces nothing
+    g3 = out[out["doc_id"] == 3].sort_values("chunk_id")
+    assert list(g3["start_tok"]) == [0, 12, 24, 36]
+    assert list(g3["n_toks"]) == [16, 16, 16, 4]
+    g2 = out[out["doc_id"] == 2]
+    assert len(g2) == 1 and int(g2["n_toks"].iloc[0]) == 3
