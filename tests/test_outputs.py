@@ -136,3 +136,46 @@ def test_resumable_shard_write_skips_done_shards(ray_session, tmp_path):
     want = double(pq2.read_table(files))
     assert got.sort_by("doc_id").equals(want.sort_by("doc_id"))
     assert not any(p.endswith(".tmp") for p in os.listdir(out))
+
+
+def test_hive_partitioned_write_and_compaction(ray_session, tmp_path):
+    """The key-partitioned sink must produce the hive layout with a
+    correct distributed manifest, round-trip every row, support
+    partition-pruned reads, and the compactor must coalesce many tiny
+    shards into few files with identical content."""
+    import json
+
+    import pandas as pd
+    import pyarrow.parquet as pq2
+    import ray.data
+
+    from hsearch_ray.pipelines.outputs import (compact_parquet_dir,
+                                               hive_partitioned_write)
+
+    src = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "lang", "n_chars"])
+    out = str(tmp_path / "by_lang")
+    manifest = hive_partitioned_write(
+        ray.data.from_pandas(src).repartition(8), out, "lang")
+    assert manifest == src["lang"].value_counts().astype(int).to_dict()
+    with open(f"{out}/_manifest.json") as f:
+        assert json.load(f) == manifest
+    # hive layout + partition-pruned read
+    langs = sorted(d.split("=")[1] for d in os.listdir(out)
+                   if d.startswith("lang="))
+    assert langs == sorted(manifest)
+    one = ray.data.read_parquet(f"{out}/lang={langs[0]}").count()
+    assert one == manifest[langs[0]]
+    # full round-trip (partition col is re-derived from the dir name)
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == len(src)
+    assert sorted(back["doc_id"]) == sorted(src["doc_id"])
+    # compaction: many tiny files -> 1 file, identical content
+    tiny = str(tmp_path / "tiny")
+    ray.data.from_pandas(src).repartition(16).write_parquet(tiny)
+    n_before = len([f for f in os.listdir(tiny) if f.endswith(".parquet")])
+    compact = str(tmp_path / "compact")
+    n_after = compact_parquet_dir(tiny, compact, target_rows_per_file=100_000)
+    assert n_before > n_after
+    got = pq2.read_table(compact).sort_by("doc_id")
+    assert got.equals(pq2.read_table(tiny).sort_by("doc_id"))
