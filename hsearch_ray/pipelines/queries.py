@@ -3387,6 +3387,26 @@ def q_approx_quantiles_events(sf_dir: str):
     })
 
 
+def q_user_moving_window(sf_dir: str):
+    """Bounded moving-window aggregate — per event, the sum and count
+    of the current + 3 preceding same-user event values in (ts,
+    event_id) order: ``ROWS BETWEEN 3 PRECEDING AND CURRENT ROW``.
+    Completes the window-frame matrix (UNBOUNDED running sum =
+    `user_running_value`, time-RANGE band = `clicks_before_purchase`):
+    the sliding de-noising / rate-feature window every feature
+    pipeline needs.  Physical plan = the segmented prefix scan with a
+    bounded VALUE carry: each sorted-block boundary hands at most 3
+    trailing values of one user to its successor, O(blocks x 3) driver
+    state (stages/events.py::grouped_rolling_window)."""
+    from hsearch_ray.stages.events import grouped_rolling_window
+
+    return grouped_rolling_window(
+        _read(sf_dir, "events",
+              columns=["event_id", "ts", "user_id", "value"]),
+        k_prev=3,
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -3474,6 +3494,7 @@ QUERIES = {
     "media_features_docs": q_media_features_docs,
     "frame_sample_docs": q_frame_sample_docs,
     "user_running_value": q_user_running_value,
+    "user_moving_window": q_user_moving_window,
     "approx_quantiles_events": q_approx_quantiles_events,
     "bm25_search_docs": q_bm25_search_docs,
     "corpus_diff_docs": q_corpus_diff_docs,
@@ -4457,6 +4478,19 @@ ORACLE_SQL["user_running_value"] = """
            CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+    FROM events
+"""
+
+ORACLE_SQL["user_moving_window"] = """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS w_sum_c,
+           CAST(COUNT(*) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS w_n
     FROM events
 """
 

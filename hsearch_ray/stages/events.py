@@ -805,3 +805,111 @@ def grouped_running_sum(events_ds):
         })
 
     return narrow.map_batches(_run, batch_format="pyarrow", batch_size=None)
+
+
+_ROLLING_SCHEMA = pa.schema(
+    [("event_id", pa.int64()), ("user_id", pa.int64()),
+     ("w_sum_c", pa.int64()), ("w_n", pa.int64())]
+)
+
+
+def grouped_rolling_window(events_ds, k_prev: int = 3):
+    """Bounded moving-window aggregate — ``SUM(value)/COUNT(*) OVER
+    (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN k_prev
+    PRECEDING AND CURRENT ROW)`` — the third window-frame family next
+    to the UNBOUNDED running sum (`grouped_running_sum`) and the
+    time-band join (`windowed_prior_count`).
+
+    Same physical plan as the running sum (one distributed sort +
+    O(blocks) marks + broadcast pass B), except the scalar boundary
+    carry generalizes to a bounded VALUE carry: each block boundary
+    hands at most ``k_prev`` trailing values of ONE user (the only
+    user that can continue across a sorted-block boundary) to its
+    successor, so driver state stays O(blocks x k_prev) no matter how
+    many rows a user has.  Values flow as integer cents, so the DuckDB
+    ROWS-frame window oracle hash-matches exactly.
+    """
+    import ray
+
+    k = int(k_prev)
+    narrow = (
+        events_ds.map_batches(_prep_events, batch_format="pyarrow")
+        .sort(["user_id", "ts_us", "event_id"])
+        .materialize()
+    )
+
+    _MARK_SCHEMA = pa.schema(
+        [("user_id", pa.int64()), ("ts_us", pa.int64()),
+         ("event_id", pa.int64()), ("last_user", pa.int64()),
+         ("lu_tail", pa.list_(pa.int64()))]
+    )
+
+    def _mark(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _MARK_SCHEMA.empty_table()
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        vc = batch["value_c"].to_numpy(zero_copy_only=False)
+        tail = vc[user == user[-1]][-k:] if k > 0 else vc[:0]
+        return pa.table({
+            "user_id": pa.array([int(user[0])], pa.int64()),
+            "ts_us": pa.array([int(batch["ts_us"][0].as_py())], pa.int64()),
+            "event_id": pa.array(
+                [int(batch["event_id"][0].as_py())], pa.int64()),
+            "last_user": pa.array([int(user[-1])], pa.int64()),
+            "lu_tail": pa.array([tail.astype(I64).tolist()],
+                                pa.list_(pa.int64())),
+        })
+
+    marks = narrow.map_batches(
+        _mark, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if not marks.empty:
+        marks = marks.sort_values(
+            ["user_id", "ts_us", "event_id"]
+        ).reset_index(drop=True)
+    prefixes: dict[tuple[int, int, int], np.ndarray] = {}
+    carry_user, carry = None, np.empty(0, dtype=I64)
+    for fu, fts, feid, lu, t in marks.itertuples(index=False, name=None):
+        pre = carry if int(fu) == carry_user else np.empty(0, dtype=I64)
+        prefixes[(int(fu), int(fts), int(feid))] = pre
+        t = np.asarray(t, dtype=I64)
+        # lu_tail holds min(k, count) trailing rows of the last user:
+        # when it is short, the user's block rows are COMPLETE in it,
+        # so prepending the inherited prefix reconstructs the true tail.
+        carry = (np.concatenate([pre, t])[-k:] if int(lu) == int(fu)
+                 else t)
+        carry_user = int(lu)
+    ref = ray.put(prefixes)
+
+    def _run(batch: pa.Table, ref=ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return _ROLLING_SCHEMA.empty_table()
+        pres = ray.get(ref)
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        vc = batch["value_c"].to_numpy(zero_copy_only=False).astype(I64)
+        pre = pres[(int(user[0]), int(ts[0]), int(eid[0]))]
+        p = pre.size
+        uu = np.concatenate([np.full(p, user[0], dtype=I64),
+                             user.astype(I64)])
+        vv = np.concatenate([pre, vc])
+        n = uu.size
+        newseg = np.empty(n, dtype=bool)
+        newseg[0] = True
+        newseg[1:] = uu[1:] != uu[:-1]
+        first_idx = np.flatnonzero(newseg)
+        seg_id = np.cumsum(newseg) - 1
+        cum0 = np.concatenate([np.zeros(1, dtype=I64), np.cumsum(vv)])
+        i = np.arange(n, dtype=I64)
+        lo = np.maximum(first_idx[seg_id], i - k)
+        wsum = cum0[i + 1] - cum0[lo]
+        wn = i - lo + 1
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(user, pa.int64()),
+            "w_sum_c": pa.array(wsum[p:].astype(I64), pa.int64()),
+            "w_n": pa.array(wn[p:].astype(I64), pa.int64()),
+        })
+
+    return narrow.map_batches(_run, batch_format="pyarrow", batch_size=None)

@@ -245,3 +245,74 @@ def test_grouped_running_sum_empty_input(ray_session):
     empty = _events().slice(0, 0)
     out = grouped_running_sum(ray.data.from_arrow(empty)).to_pandas()
     assert len(out) == 0
+
+
+def _ref_rolling(tbl, k=3):
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("datetime64[us]").astype("int64")
+    df["vc"] = np.floor(df["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    df = df.sort_values(["user_id", "ts_us", "event_id"])
+    g = df.groupby("user_id")["vc"]
+    ws = g.rolling(k + 1, min_periods=1).sum().reset_index(level=0, drop=True)
+    wn = g.rolling(k + 1, min_periods=1).count().reset_index(
+        level=0, drop=True)
+    return {int(e): (int(s), int(n)) for e, s, n in
+            zip(df["event_id"], ws, wn)}
+
+
+def test_grouped_rolling_window_matches_reference_across_blocks(ray_session):
+    """The bounded-frame window must be independent of block layout:
+    the 23-tiny-block run forces the k-value carry across many
+    boundaries and must equal the single-block run and the pandas
+    rolling truth."""
+    import ray.data
+
+    from hsearch_ray.stages.events import grouped_rolling_window
+
+    tbl = _events(n_users=7, n_events=600, seed=17)
+    want = _ref_rolling(tbl, k=3)
+    for ds in (ray.data.from_arrow(tbl), _many_blocks(tbl)):
+        got = grouped_rolling_window(ds, k_prev=3).to_pandas()
+        got_map = {int(e): (int(s), int(n)) for e, s, n in
+                   zip(got["event_id"], got["w_sum_c"], got["w_n"])}
+        assert got_map == want
+    # the frame genuinely saturates (some windows hold k+1 rows)
+    assert max(n for _, n in want.values()) == 4
+
+
+def test_grouped_rolling_window_carry_chains_across_tiny_blocks(ray_session):
+    """Adversarial: ONE user, 2 rows per block, window of 5 previous —
+    every window spans >= 2 block boundaries, so a carry that only
+    looks one block back would under-fill the frame."""
+    from hsearch_ray.stages.events import grouped_rolling_window
+
+    n = 40
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 1_000_000,
+                       pa.int64()).cast(pa.timestamp("us")),
+        "user_id": pa.array(np.full(n, 7, np.int64)),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(np.arange(1, n + 1, dtype=np.float64)),
+    })
+    got = grouped_rolling_window(_many_blocks(tbl, n=20),
+                                 k_prev=5).to_pandas()
+    got = got.sort_values("event_id")
+    i = np.arange(n)
+    lo = np.maximum(0, i - 5)
+    v = 100 * np.arange(1, n + 1, dtype=np.int64)
+    cum0 = np.concatenate([[0], np.cumsum(v)])
+    assert (got["w_sum_c"].to_numpy() == cum0[i + 1] - cum0[lo]).all()
+    assert (got["w_n"].to_numpy() == i - lo + 1).all()
+
+
+def test_grouped_rolling_window_empty_input(ray_session):
+    import ray.data
+
+    from hsearch_ray.stages.events import grouped_rolling_window
+
+    empty = _events().slice(0, 0)
+    out = grouped_rolling_window(ray.data.from_arrow(empty)).to_pandas()
+    assert len(out) == 0
