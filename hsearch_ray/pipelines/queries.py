@@ -3407,6 +3407,29 @@ def q_user_moving_window(sf_dir: str):
     )
 
 
+def q_set_join_pairs_docs(sf_dir: str):
+    """Exact set-similarity self-join (AllPairs/PPJoin prefix
+    filtering, Bayardo et al. WWW'07): every doc pair whose word-BIGRAM
+    set Jaccard >= 1/2, with the exact intersection and union sizes —
+    the guaranteed-recall-1 counterpart of the MinHash-LSH flagship
+    (same candidate-then-verify shape, but the candidate superset is a
+    theorem, not a probability).  Bigrams rather than unigrams because
+    template-heavy corpora share most single words; threshold is the
+    rational 1/2 evaluated in integers (2*inter >= union) so the
+    oracle hash never touches a float.  Physical plan in
+    stages/setjoin.py: df count -> sharded kv store, per-doc
+    (df, hash)-ordered prefixes, the shared sorted-run pair machinery,
+    sharded set store + per-pair searchsorted verify."""
+    from hsearch_ray.stages.setjoin import (
+        set_similarity_join,
+        token_bigram_sets,
+    )
+
+    toks = token_bigram_sets(_read(sf_dir, "documents",
+                                   columns=["doc_id", "text"]))
+    return set_similarity_join(toks, num=1, den=2)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -3495,6 +3518,7 @@ QUERIES = {
     "frame_sample_docs": q_frame_sample_docs,
     "user_running_value": q_user_running_value,
     "user_moving_window": q_user_moving_window,
+    "set_join_pairs_docs": q_set_join_pairs_docs,
     "approx_quantiles_events": q_approx_quantiles_events,
     "bm25_search_docs": q_bm25_search_docs,
     "corpus_diff_docs": q_corpus_diff_docs,
@@ -4479,6 +4503,30 @@ ORACLE_SQL["user_running_value"] = """
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
     FROM events
+"""
+
+# Set-similarity join: same \S+ tokenizer as tfidf_docs; bigram = the
+# two adjacent tokens joined by one space; Jaccard >= 1/2 in integers.
+ORACLE_SQL["set_join_pairs_docs"] = r"""
+    WITH ll AS (
+      SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i + 1] AS tok
+      FROM ll, unnest(generate_series(1, len(l) - 1)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_common
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.a, i.b, CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(sa.s + sb.s - i.n_common AS BIGINT) AS n_union
+    FROM inter i
+    JOIN sz sa ON sa.doc_id = i.a
+    JOIN sz sb ON sb.doc_id = i.b
+    WHERE 2 * i.n_common >= (sa.s + sb.s - i.n_common)
 """
 
 ORACLE_SQL["user_moving_window"] = """
