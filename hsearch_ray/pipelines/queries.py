@@ -2971,6 +2971,61 @@ def q_ipc_roundtrip_docs(sf_dir: str):
     return ds.map_batches(_counts, batch_format="pandas", batch_size=4096)
 
 
+def q_warc_roundtrip_docs(sf_dir: str):
+    """WARC source round-trip — the format web-scale corpora arrive in
+    (Common Crawl ships WARC shards; sources/warc.py documents the
+    ISO 28500 record layout).  Documents are exported once as
+    WARC resource records (uri = https://example.org/doc/<id>, cache
+    keyed by the parquet's content identity), read back through the
+    validating Content-Length-walking parser, and per-doc char, token
+    AND utf-8 BYTE counts recomputed from the round-tripped text; the
+    oracle recomputes from the PARQUET table, so equality proves the
+    archive encoding preserves text byte-exactly."""
+    import os
+
+    from hsearch_ray.sources.warc import read_warc, write_warc
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_{st.st_mtime_ns}_{st.st_size}"
+    wdir = f"/tmp/graft_warc_{tag}"
+    marker = wdir + "/.done"
+    if not os.path.exists(marker):
+        os.makedirs(wdir, exist_ok=True)
+
+        def _to_records(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "uri": pa.array(
+                    [f"https://example.org/doc/{i}" for i in ids],
+                    pa.string()),
+                "warc_date": pa.array(
+                    ["2024-01-01T00:00:00Z"] * len(ids), pa.string()),
+                "content": batch["text"].cast(pa.large_string()),
+            })
+
+        write_warc(
+            _read(sf_dir, "documents", columns=["doc_id", "text"])
+            .map_batches(_to_records, batch_format="pyarrow"),
+            wdir,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    ds = read_warc(wdir)
+
+    def _counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["uri"].str.rsplit("/", n=1).str[-1].astype("int64"),
+            "n_chars_rt": df["content"].str.len().astype("int64"),
+            "n_tokens": df["content"].str.count(r"\S+").astype("int64"),
+            "n_bytes": df["content"].str.encode("utf-8").str.len()
+                       .astype("int64"),
+        })
+
+    return ds.map_batches(_counts, batch_format="pandas", batch_size=4096)
+
+
 def q_media_features_docs(sf_dir: str):
     """Multimodal featurize pipeline, driver-visible end to end: a
     deterministic media table (REAL WAV/PNG codec bytes + one honest
@@ -3510,6 +3565,7 @@ QUERIES = {
     "streaming_session_stats": q_streaming_session_stats,
     "compression_ratio_docs": q_compression_ratio_docs,
     "ipc_roundtrip_docs": q_ipc_roundtrip_docs,
+    "warc_roundtrip_docs": q_warc_roundtrip_docs,
     "ann_topk_pq": q_ann_topk_pq,
     "text_search_docs": q_text_search_docs,
     "split_docs": q_split_docs,
@@ -4493,6 +4549,18 @@ WHERE CAST(c AS DOUBLE) / (sq.n + sb.n - c) >= {_SEARCH_THRESHOLD}
 # The IPC round-trip recomputes the same counts as the JSONL
 # round-trip from a different wire format; same parquet-side oracle.
 ORACLE_SQL["ipc_roundtrip_docs"] = ORACLE_SQL["jsonl_token_count_docs"]
+
+# WARC round-trip: char + token counts like the other wire formats,
+# plus the utf-8 BYTE count (DuckDB strlen = octet length) — the
+# Content-Length walk must preserve every byte.
+ORACLE_SQL["warc_roundtrip_docs"] = r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_rt,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+             AS n_tokens,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+"""
 
 # Cumulative window function: the segmented distributed prefix scan's
 # oracle is the textbook SUM OVER (PARTITION BY ... ORDER BY ...) with

@@ -894,3 +894,45 @@ def test_chunk_docs_empty_and_zero_token_docs(ray_session):
     assert list(g3["n_toks"]) == [16, 16, 16, 4]
     g2 = out[out["doc_id"] == 2]
     assert len(g2) == 1 and int(g2["n_toks"].iloc[0]) == 3
+
+
+def test_warc_roundtrip_and_validation(ray_session, tmp_path):
+    """The WARC writer/reader must round-trip adversarial payloads
+    byte-exactly — non-ASCII, CRLF line endings, and a payload that
+    CONTAINS the "WARC/1.0" record marker (the Content-Length walk must
+    never split on payload bytes) — and the reader must fail loudly on
+    a record missing Content-Length."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray as _ray
+
+    from hsearch_ray.sources.warc import read_warc, write_warc
+
+    texts = [
+        "héllo\r\nwörld",                       # CRLF inside payload
+        "WARC/1.0\r\nContent-Length: 3\r\n\r\nxyz",  # marker inside payload
+        "日本語 \t x",
+        "",                                      # empty payload
+    ]
+    tbl = pa.table({
+        "uri": pa.array([f"https://example.org/doc/{i}"
+                         for i in range(len(texts))], pa.string()),
+        "warc_date": pa.array(["2024-01-01T00:00:00Z"] * len(texts),
+                              pa.string()),
+        "content": pa.array(texts, pa.large_string()),
+    })
+    n = write_warc(_ray.data.from_arrow(tbl), str(tmp_path))
+    assert n >= 1
+    out = read_warc(str(tmp_path)).to_pandas().sort_values("uri")
+    got = dict(zip(out["uri"], out["content"]))
+    for i, t in enumerate(texts):
+        assert got[f"https://example.org/doc/{i}"] == t
+    got_bytes = dict(zip(out["uri"], out["n_bytes"]))
+    for i, t in enumerate(texts):
+        assert got_bytes[f"https://example.org/doc/{i}"] == len(t.encode())
+
+    bad = tmp_path / "bad.warc"
+    bad.write_bytes(b"WARC/1.0\r\nWARC-Type: resource\r\n\r\noops\r\n\r\n")
+    with _pytest.raises(_ray.exceptions.RayTaskError,
+                        match="Content-Length"):
+        read_warc(str(bad)).materialize()
