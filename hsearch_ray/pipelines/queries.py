@@ -3485,6 +3485,35 @@ def q_set_join_pairs_docs(sf_dir: str):
     return set_similarity_join(toks, num=1, den=2)
 
 
+def q_similarity_pagerank_docs(sf_dir: str):
+    """Boilerplate-hub detection: PageRank centrality over the document
+    SIMILARITY graph (edges = exact word-UNIGRAM-set Jaccard >= 9/10
+    via the prefix-filter join — at this threshold the template-heavy
+    corpus shows real hub structure, degrees spanning two orders of
+    magnitude), top 20 docs by rank.  The engine's ITERATIVE-algorithm
+    representative: per iteration one edge pass probing the rank +
+    degree kv stores and one distributed grouped sum — corpus-sized
+    state never lands on the driver (stages/graph.py).  Rows-only BY
+    DESIGN: a 10-round integer fixed point is not SQL-expressible; the
+    pytest gate pins the distributed result bit-equal to a local
+    reference with identical integer arithmetic and close to float
+    power iteration."""
+    from hsearch_ray.stages.graph import pagerank
+    from hsearch_ray.stages.setjoin import (
+        set_similarity_join,
+        token_bigram_sets,
+    )
+
+    toks = token_bigram_sets(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), ngram=1)
+    pairs = set_similarity_join(toks, num=9, den=10)
+    edges = pairs.map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    rank = pagerank(edges, iters=10)
+    return rank.sort(["rank_units", "node"],
+                     descending=[True, False]).limit(20)
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -3575,6 +3604,7 @@ QUERIES = {
     "user_running_value": q_user_running_value,
     "user_moving_window": q_user_moving_window,
     "set_join_pairs_docs": q_set_join_pairs_docs,
+    "similarity_pagerank_docs": q_similarity_pagerank_docs,
     "approx_quantiles_events": q_approx_quantiles_events,
     "bm25_search_docs": q_bm25_search_docs,
     "corpus_diff_docs": q_corpus_diff_docs,

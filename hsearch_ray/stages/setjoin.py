@@ -88,19 +88,35 @@ def _bigram_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     return bg, nbg
 
 
+def _unigram_hashes(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc word-token 64-bit hashes: (values, doc lens).  Same
+    tokenizer and utf8 hash as the bigram variant."""
+    import polars as pl
+
+    toks = texts.str.findall(r"\S+")
+    lens = toks.str.len().to_numpy(dtype=I64)
+    if int(lens.sum()) == 0:
+        return np.empty(0, I64), lens
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks])
+    h = pl.Series(flat.astype(str)).hash(seed=42).to_numpy().view(I64)
+    return h, lens
+
+
 def token_bigram_sets(docs_ds, id_col: str = "doc_id",
-                      text_col: str = "text"):
+                      text_col: str = "text", ngram: int = 2):
     """documents -> (file_id, toks) Dataset where toks is the SORTED
-    UNIQUE int64 word-bigram hash set of the doc (empty for docs with
-    fewer than two tokens).  Sortedness is the store invariant the
-    verify pass relies on."""
+    UNIQUE int64 word-bigram (``ngram=2``, default) or word-unigram
+    (``ngram=1``) hash set of the doc (empty for docs with fewer than
+    ``ngram`` tokens).  Sortedness is the store invariant the verify
+    pass relies on."""
+    hasher = _bigram_hashes if ngram == 2 else _unigram_hashes
 
     def _sets(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _TOKS_SCHEMA.empty_table()
         df = batch.select([id_col, text_col]).to_pandas()
         ids = df[id_col].to_numpy(dtype=I64)
-        bg, nbg = _bigram_hashes(df[text_col])
+        bg, nbg = hasher(df[text_col])
         docrep = np.repeat(np.arange(ids.size, dtype=I64), nbg)
         # per-doc sorted unique: lexsort by (doc, hash), keep firsts
         order = np.lexsort((bg, docrep))
