@@ -1456,6 +1456,46 @@ def q_hourly_events(sf_dir: str):
     return out
 
 
+def q_minmax_norm_events(sf_dir: str):
+    """Per-group min-max feature normalization — the standardization
+    pass a feature pipeline runs before training: every event's value
+    rescaled to [0, 1e6] ppm within its event_type group.  Two passes,
+    both tiny where it matters: a distributed grouped (min, max)
+    combine collapses to one row per type (broadcast as a dict — group
+    cardinality is the SMALL side by definition), then one stateless
+    map over the stream.  All integer (cents in, ppm out), so the
+    window-function oracle is hash-exact; a constant group (max = min)
+    normalizes to 0 by convention on both sides."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "value_c": _cents(df["value"]),
+        })
+
+    stats = grouped_agg(ds.map_batches(prep, batch_format="pandas"),
+                        ["event_type"], {"value_c": ["min", "max"]})
+    mn = dict(zip(stats["event_type"], stats["value_c__min"].astype(np.int64)))
+    mx = dict(zip(stats["event_type"], stats["value_c__max"].astype(np.int64)))
+    mn_ref, mx_ref = ray.put(mn), ray.put(mx)
+
+    def _norm(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["event_type"].map(ray.get(mn_ref)).to_numpy(dtype=np.int64)
+        hi = df["event_type"].map(ray.get(mx_ref)).to_numpy(dtype=np.int64)
+        vc = _cents(df["value"])
+        rng = hi - lo
+        norm = np.where(rng > 0, (vc - lo) * 1_000_000 // np.maximum(rng, 1),
+                        0)
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"],
+            "norm_ppm": norm.astype(np.int64),
+        })
+
+    return ds.map_batches(_norm, batch_format="pandas")
+
+
 def q_hopping_events(sf_dir: str):
     """Hopping (sliding) window aggregate — size 3 h, hop 1 h: the
     overlapping-window sibling of the tumbling window (a streaming
@@ -3558,6 +3598,7 @@ QUERIES = {
     "inactive_customers": q_inactive_customers,
     "hourly_events": q_hourly_events,
     "hopping_events": q_hopping_events,
+    "minmax_norm_events": q_minmax_norm_events,
     "frequent_tokens_docs": q_frequent_tokens_docs,
     "hash_sample_events": q_hash_sample_events,
     "cap_per_source_docs": q_cap_per_source_docs,
@@ -4015,6 +4056,24 @@ ORACLE_SQL = {
                CAST(sum(CAST(floor(value*100 + 0.5) AS BIGINT)) AS BIGINT)
                  AS sum_value_c
         FROM events GROUP BY 1, 2
+    """,
+    "minmax_norm_events": """
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+          FROM events
+        ),
+        w AS (
+          SELECT event_id, event_type, vc,
+                 MIN(vc) OVER (PARTITION BY event_type) AS mn,
+                 MAX(vc) OVER (PARTITION BY event_type) AS mx
+          FROM c
+        )
+        SELECT event_id, event_type,
+               CAST(CASE WHEN mx = mn THEN 0
+                    ELSE ((vc - mn) * 1000000) // (mx - mn)
+                    END AS BIGINT) AS norm_ppm
+        FROM w
     """,
     "hopping_events": """
         WITH e AS (

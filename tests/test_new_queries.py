@@ -62,6 +62,10 @@ NEW_QUERIES = [
     "bm25_search_docs",
     "corpus_diff_docs",
     "chunk_docs",
+    "user_moving_window",
+    "set_join_pairs_docs",
+    "warc_roundtrip_docs",
+    "minmax_norm_events",
     # every remaining oracle-bearing query (driver-era set), so the
     # suite — not only the per-round driver run — guards ALL oracles
     "ann_topk",
@@ -136,6 +140,10 @@ MIN_ROWS = {
     "bm25_search_docs": 30,
     "corpus_diff_docs": 500,
     "chunk_docs": 2000,
+    "user_moving_window": 1000,
+    "set_join_pairs_docs": 20,
+    "warc_roundtrip_docs": 500,
+    "minmax_norm_events": 1000,
 }
 # driver-era queries: the oracle compare already pins EXACT row-count
 # equality; 1 here only guards the vacuously-empty case
@@ -936,3 +944,26 @@ def test_warc_roundtrip_and_validation(ray_session, tmp_path):
     with _pytest.raises(_ray.exceptions.RayTaskError,
                         match="Content-Length"):
         read_warc(str(bad)).materialize()
+
+
+def test_minmax_norm_bounds_and_constant_group(ray_session, tmp_path):
+    """Normalized values must span exactly [0, 1e6] per group (min -> 0,
+    max -> 1e6), and a constant group normalizes to 0 by convention."""
+    import pandas as pd
+
+    from hsearch_ray.pipelines.queries import q_minmax_norm_events
+
+    df = pd.DataFrame({
+        "event_id": np.arange(7, dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(7), unit="s"),
+        "user_id": np.zeros(7, np.int64),
+        "event_type": ["a", "a", "a", "b", "b", "c", "c"],
+        "value": [1.0, 2.0, 3.0, 10.0, 20.0, 5.0, 5.0],
+        "props": [""] * 7,
+    })
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    out = q_minmax_norm_events(str(tmp_path)).to_pandas() \
+        .set_index("event_id")["norm_ppm"]
+    assert out[0] == 0 and out[2] == 1_000_000 and out[1] == 500_000
+    assert out[3] == 0 and out[4] == 1_000_000
+    assert out[5] == 0 and out[6] == 0  # constant group
