@@ -1456,6 +1456,71 @@ def q_hourly_events(sf_dir: str):
     return out
 
 
+def q_boolean_search_docs(sf_dir: str):
+    """Conjunctive (boolean AND) retrieval — every doc containing ALL
+    terms of each query, exact whole-token semantics: the boolean
+    complement of the ranked `bm25_search_docs` arm, over the SAME
+    query set (`_BM25_QUERIES`).  Terms broadcast once (the small side
+    by definition); the corpus streams through one vectorized pass: one
+    utf8-hash of the batch's tokens, ONE searchsorted against the
+    global sorted term-hash array, distinct (doc, term) presence via a
+    void-key unique, then per-doc match counts == |terms| select the
+    hits.  No per-query rescan, no shuffle.  Output (query_id, doc_id);
+    the VALUES-CTE oracle is generated from the same constant
+    (list_has_all on the identical \\S+ token list)."""
+    from hsearch_ray.stages.setjoin import _unigram_hashes
+
+    import polars as pl
+
+    terms, qid_of, need = [], [], {}
+    for qid, ts in _BM25_QUERIES:
+        need[qid] = len(ts)
+        for t in ts:
+            terms.append(t)
+            qid_of.append(qid)
+    # one slot per term: the searchsorted probe maps a token to ONE
+    # slot, so a term shared by two queries would need run expansion
+    assert len(set(terms)) == len(terms), "query terms must be distinct"
+    th = pl.Series(terms).hash(seed=42).to_numpy().view(np.int64)
+    order = np.argsort(th, kind="stable")
+    th_sorted = th[order]
+    qid_sorted = np.asarray(qid_of, dtype=np.int64)[order]
+    need_ref = ray.put(need)
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        empty = pa.schema([("query_id", pa.int64()),
+                           ("doc_id", pa.int64())]).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        df = batch.select(["doc_id", "text"]).to_pandas()
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        h, lens = _unigram_hashes(df["text"])
+        if h.size == 0:
+            return empty
+        docrep = np.repeat(np.arange(ids.size, dtype=np.int64), lens)
+        pos = np.minimum(np.searchsorted(th_sorted, h), th_sorted.size - 1)
+        hit = th_sorted[pos] == h
+        if not hit.any():
+            return empty
+        # distinct (doc, term-slot) presence rows
+        key = docrep[hit] * np.int64(th_sorted.size) + pos[hit]
+        key = np.unique(key)
+        d, slot = key // th_sorted.size, key % th_sorted.size
+        q = qid_sorted[slot]
+        # count matched terms per (doc, query); keep full matches
+        dq = np.stack([d, q], axis=1)
+        uniq, cnt = np.unique(dq, axis=0, return_counts=True)
+        needs = ray.get(need_ref)
+        keep = cnt == np.vectorize(needs.get)(uniq[:, 1])
+        return pa.table({
+            "query_id": pa.array(uniq[keep, 1], pa.int64()),
+            "doc_id": pa.array(ids[uniq[keep, 0]], pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(_probe, batch_format="pyarrow")
+
+
 def q_minmax_norm_events(sf_dir: str):
     """Per-group min-max feature normalization — the standardization
     pass a feature pipeline runs before training: every event's value
@@ -3648,6 +3713,7 @@ QUERIES = {
     "similarity_pagerank_docs": q_similarity_pagerank_docs,
     "approx_quantiles_events": q_approx_quantiles_events,
     "bm25_search_docs": q_bm25_search_docs,
+    "boolean_search_docs": q_boolean_search_docs,
     "corpus_diff_docs": q_corpus_diff_docs,
     "chunk_docs": q_chunk_docs,
     "approx_quantiles_by_type": q_approx_quantiles_by_type,
@@ -4705,6 +4771,21 @@ ORACLE_SQL["user_moving_window"] = """
 _BM25_VALUES = ", ".join(
     f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in ts
 )
+# Boolean AND retrieval: VALUES CTE generated from the SAME constant as
+# the engine side, exact whole-token semantics via list_has_all.
+ORACLE_SQL["boolean_search_docs"] = (
+    "WITH q(query_id, terms) AS (VALUES "
+    + ", ".join(
+        "({}, [{}])".format(qid, ", ".join(f"'{t}'" for t in ts))
+        for qid, ts in _BM25_QUERIES
+    )
+    + r""")
+    SELECT q.query_id, d.doc_id
+    FROM q JOIN documents d
+      ON list_has_all(regexp_extract_all(d.text, '\S+'), q.terms)
+    """
+)
+
 ORACLE_SQL["bm25_search_docs"] = rf"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term

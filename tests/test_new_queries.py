@@ -66,6 +66,7 @@ NEW_QUERIES = [
     "set_join_pairs_docs",
     "warc_roundtrip_docs",
     "minmax_norm_events",
+    "boolean_search_docs",
     # every remaining oracle-bearing query (driver-era set), so the
     # suite — not only the per-round driver run — guards ALL oracles
     "ann_topk",
@@ -144,6 +145,7 @@ MIN_ROWS = {
     "set_join_pairs_docs": 20,
     "warc_roundtrip_docs": 500,
     "minmax_norm_events": 1000,
+    "boolean_search_docs": 500,
 }
 # driver-era queries: the oracle compare already pins EXACT row-count
 # equality; 1 here only guards the vacuously-empty case
@@ -967,3 +969,32 @@ def test_minmax_norm_bounds_and_constant_group(ray_session, tmp_path):
     assert out[0] == 0 and out[2] == 1_000_000 and out[1] == 500_000
     assert out[3] == 0 and out[4] == 1_000_000
     assert out[5] == 0 and out[6] == 0  # constant group
+
+
+def test_boolean_search_conjunctive_semantics(ray_session, tmp_path):
+    """AND semantics are exact whole-token: a doc with only 2 of 3
+    terms, or with a term as a SUBSTRING of a longer token, must not
+    hit; term order and repetition are irrelevant."""
+    import pandas as pd
+
+    from hsearch_ray.pipelines.queries import (
+        _BM25_QUERIES,
+        q_boolean_search_docs,
+    )
+
+    qid, terms = _BM25_QUERIES[0]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            " ".join(terms),                       # all terms -> hit
+            " ".join(terms[:-1]),                  # missing one -> no
+            " ".join(t + "x" for t in terms),      # substrings -> no
+            f"{terms[2]} pad {terms[0]} pad {terms[1]} {terms[0]}",
+        ],
+        "lang": ["en"] * 4, "source": ["t"] * 4,
+    })
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+    out = q_boolean_search_docs(str(tmp_path)).to_pandas()
+    hits = set(out[out["query_id"] == qid]["doc_id"])
+    assert hits == {0, 3}
