@@ -78,6 +78,23 @@ class PipelineConfig:
     # --- execution sizing ---
     sign_batch_size: int = 512      # rows per Signer batch (content can be tens of KB/row)
     verify_batch_size: int = 4096   # candidate pairs per Verifier batch
+    # --- verify store residency (scale lever; results unaffected) ---
+    # Max shingle-store shards one verify worker keeps mapped at a time.
+    # Zero-copy views PIN their plasma objects: with no bound, every
+    # worker eventually maps every shard and the whole store becomes
+    # unevictable — at 30.72M files that forced raising the object-store
+    # share past the raylet spill-crash envelope (BASELINE.md round 4).
+    # A bounded LRU keeps only the recently-touched shards pinned; 0
+    # restores the unbounded map.
+    verify_shard_cache: int = 12
+    # Reorder candidate pairs block-locally by (shard(a), shard(b))
+    # before verify, so consecutive batches sweep shards in order and
+    # the LRU hits.  Pairs arrive a-sorted (distinct_pairs), so this is
+    # one in-block lexsort — no shuffle.  None = auto: on when the
+    # candidate-id count reaches ``shard_coherent_above`` (the store is
+    # then large enough that residency matters); True/False force it.
+    shard_coherent_verify: bool | None = None
+    shard_coherent_above: int = 2_000_000
     # actor-pool sizing: min=1 so small clusters (tests at num_cpus=4) never
     # deadlock on pool preallocation; max bounds come from the session size
     sign_concurrency: tuple[int, int] = (1, 32)  # Signer actor pool min/max

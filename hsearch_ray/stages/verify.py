@@ -134,17 +134,33 @@ class Verifier:
     concern)."""
 
     def __init__(self, cfg: PipelineConfig, store_ref):
+        import collections
+
         self.cfg = cfg
         bounds, shard_refs = ray.get(store_ref)
         self.bounds = bounds
         self.shard_refs = shard_refs
-        self._shards: dict[int, tuple] = {}  # lazily fetched, zero-copy
+        # Bounded LRU of mapped shards: a zero-copy view PINS its plasma
+        # object, so an unbounded map makes every worker pin the whole
+        # store (unevictable — the 30.72M-file raylet spill crash).  The
+        # cap bounds the pinned set; evicted shards stay in the object
+        # store (or spill) and re-map on next touch — cheap when access
+        # is shard-coherent (verify_pairs' block-local pair reorder).
+        self._cap = int(getattr(cfg, "verify_shard_cache", 0) or 0)
+        self._shards: "collections.OrderedDict[int, tuple]" = \
+            collections.OrderedDict()
         self._sketches: dict[int, np.ndarray] = {}  # per-shard, on demand
 
     def _shard(self, s: int):
         t = self._shards.get(s)
         if t is None:
             t = self._shards[s] = ray.get(self.shard_refs[s])
+            if self._cap and len(self._shards) > self._cap:
+                old, _ = self._shards.popitem(last=False)
+                # the sketch array views shard element 5 — drop together
+                self._sketches.pop(old, None)
+        else:
+            self._shards.move_to_end(s)
         return t
 
     def _locate(self, x: np.ndarray):
@@ -555,6 +571,31 @@ def verify_pairs(pairs_ds, corpus_ds, cfg: PipelineConfig,
     if ids.size == 0:
         return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
     store_ref = build_store(corpus_ds, ids, cfg)
+
+    coherent = cfg.shard_coherent_verify
+    if coherent is None:  # auto: only when the store is big enough to
+        coherent = ids.size >= cfg.shard_coherent_above  # stress plasma
+    if coherent:
+        # Block-local reorder by (shard(a), shard(b)): pairs arrive
+        # a-sorted (distinct_pairs), so one in-block lexsort makes
+        # consecutive verify batches sweep b-shards in order — the
+        # worker's bounded shard LRU then hits instead of re-mapping
+        # spilled shards per batch.  Routing only: the verified pair
+        # SET is identical either way (equivalence pinned by test).
+        bounds = ray.get(store_ref)[0]  # interior bounds: tiny
+
+        def _reorder(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or bounds.size == 0:
+                return batch
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            sa = np.searchsorted(bounds, a, side="right")
+            sb = np.searchsorted(bounds, b, side="right")
+            return batch.take(pa.array(np.lexsort((sb, sa))))
+
+        pairs_ds = pairs_ds.map_batches(
+            _reorder, batch_format="pyarrow", batch_size=None
+        )
 
     def _verify_task(batch: pa.Table) -> pa.Table:
         # warm-worker task + per-process cached Verifier (the _kv_lookup

@@ -337,3 +337,62 @@ def test_kv_store_extreme_int64_keys(ray_session):
     assert (out == vals).all()
     miss, ok_miss = look.lookup(np.array([42], dtype=np.int64))
     assert not ok_miss.any()
+
+
+def test_shard_coherent_verify_equivalent(ray_session, small_corpus):
+    """Forcing the shard-coherent pair reorder + a 1-entry shard LRU
+    (the harshest residency bound) yields the IDENTICAL verified pair
+    set and clustering as the default unbounded path — the routing
+    lever moves data residency, never results."""
+    import ray.data
+
+    from hsearch_ray.pipelines.dedup import dedup_pipeline
+
+    corpus, _ = small_corpus
+
+    def run(cfg):
+        res = dedup_pipeline(ray.data.from_arrow(corpus), cfg)
+        pairs = res.pairs.to_pandas().sort_values(
+            ["a", "b", "method"]).reset_index(drop=True)
+        clus = res.clusters.to_pandas().sort_values(
+            "file_id").reset_index(drop=True)
+        return pairs, clus
+
+    base_pairs, base_clus = run(PipelineConfig(shard_coherent_verify=False,
+                                               verify_shard_cache=0))
+    co_pairs, co_clus = run(PipelineConfig(shard_coherent_verify=True,
+                                           verify_shard_cache=1))
+    assert len(base_pairs) > 0
+    assert co_pairs.equals(base_pairs)
+    assert co_clus.equals(base_clus)
+
+
+def test_verifier_shard_lru_bounded(ray_session):
+    """With verify_shard_cache=N, a verifier never keeps more than N
+    shards mapped — even when one batch references every shard — and
+    still verifies identically to the unbounded map (batch-local refs
+    keep evicted shards alive for the duration of the batch)."""
+    import ray
+    import ray.data
+
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.verify import Verifier, build_store
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = " ".join(str(rng.integers(0, 99)) for _ in range(60))
+    rows = [("r", f"s{i}.py", base + f" t{i % 5}") for i in range(64)]
+    cfg = PipelineConfig(jaccard_threshold=0.5, verify_shard_cache=2)
+    corpus = normalize(ray.data.from_arrow(_corpus(rows))).materialize()
+    ids = np.sort(corpus.to_pandas()["file_id"].to_numpy(dtype=np.int64))
+    store_ref = build_store(corpus, ids, cfg, num_shards=8)
+    # pairs spanning the whole id range: every shard gets referenced
+    order = rng.permutation(ids.size - 1)
+    pairs = pa.table({"a": pa.array(np.minimum(ids[:-1], ids[1:])[order], pa.int64()),
+                      "b": pa.array(np.maximum(ids[:-1], ids[1:])[order], pa.int64())})
+    bounded = Verifier(cfg, store_ref)
+    out = bounded(pairs)
+    assert len(bounded._shards) <= 2
+    unbounded = Verifier(PipelineConfig(jaccard_threshold=0.5,
+                                        verify_shard_cache=0), store_ref)
+    assert out.equals(unbounded(pairs))
+    assert len(unbounded._shards) == 8
