@@ -323,14 +323,27 @@ class _ShardedVecLookup:
     """Lazy per-batch shard fetch over the sharded normalized-vector
     store (the Jaccard Verifier's access pattern, stages/verify.py:73)."""
 
+    # Bounded LRU: zero-copy views pin their plasma objects, and vector
+    # shards are the fat ones (dim x 8 B/row) — an unbounded map would
+    # let every worker pin the whole store (the Verifier's
+    # verify_shard_cache rationale, stages/verify.py).
+    _CACHE_CAP = 8
+
     def __init__(self, store_ref):
+        import collections
+
         self.bounds, self.refs = ray.get(store_ref)
-        self._shards: dict[int, tuple] = {}
+        self._shards: "collections.OrderedDict[int, tuple]" = \
+            collections.OrderedDict()
 
     def _shard(self, s: int):
         t = self._shards.get(s)
         if t is None:
             t = self._shards[s] = ray.get(self.refs[s])
+            if len(self._shards) > self._CACHE_CAP:
+                self._shards.popitem(last=False)
+        else:
+            self._shards.move_to_end(s)
         return t
 
     def gather(self, x: np.ndarray):

@@ -563,9 +563,18 @@ class _ShardedKvLookup:
     batch references; numpy buffers are zero-copy from the object
     store."""
 
+    # Max shards one worker keeps mapped: zero-copy views pin their
+    # plasma objects, so an unbounded dict would make every worker pin
+    # the whole map (the Verifier's verify_shard_cache rationale).  KV
+    # shards are narrow (16 B/key), so the cap is generous.
+    _CACHE_CAP = 32
+
     def __init__(self, store_ref):
+        import collections
+
         self.bounds, self.refs = ray.get(store_ref)
-        self._shards: dict[int, tuple] = {}
+        self._shards: "collections.OrderedDict[int, tuple]" = \
+            collections.OrderedDict()
 
     def lookup(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(values, found) for an int64 key array."""
@@ -579,6 +588,10 @@ class _ShardedKvLookup:
             t = self._shards.get(int(s))
             if t is None:
                 t = self._shards[int(s)] = ray.get(self.refs[int(s)])
+                if len(self._shards) > self._CACHE_CAP:
+                    self._shards.popitem(last=False)
+            else:
+                self._shards.move_to_end(int(s))
             keys_s, vals_s = t
             if keys_s.size == 0:
                 continue

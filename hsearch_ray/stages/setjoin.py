@@ -225,14 +225,26 @@ def _set_lookup(store_ref) -> "_ShardedSetLookup":
 
 
 class _ShardedSetLookup:
+    # Bounded LRU of mapped shards: zero-copy views pin plasma objects,
+    # so an unbounded map lets every worker pin the whole token-set
+    # store (the Verifier's verify_shard_cache rationale).
+    _CACHE_CAP = 12
+
     def __init__(self, store_ref):
+        import collections
+
         self.bounds, self.refs = ray.get(store_ref)
-        self._shards: dict[int, tuple] = {}
+        self._shards: "collections.OrderedDict[int, tuple]" = \
+            collections.OrderedDict()
 
     def _shard(self, s: int):
         t = self._shards.get(s)
         if t is None:
             t = self._shards[s] = ray.get(self.refs[s])
+            if len(self._shards) > self._CACHE_CAP:
+                self._shards.popitem(last=False)
+        else:
+            self._shards.move_to_end(s)
         return t
 
     def slices(self, x: np.ndarray):
