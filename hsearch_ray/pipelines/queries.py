@@ -2434,6 +2434,25 @@ def q_dup_ngram_docs(sf_dir: str):
     )
 
 
+def q_cut_dup_spans_docs(sf_dir: str):
+    """Exact-substring span CUTTING (the rewrite step of Lee et al.,
+    ACL 2022, on top of the `dup_ngram_docs` ledger): every cross-doc
+    duplicated {k}-gram occurrence is removed from every doc except the
+    gram's min-doc_id owner, overlapping windows merging into spans —
+    output (doc_id, clean_text, n_cut).  The engine analog of acting on
+    the reference's suffix-array shared-substring scan
+    (gen_kmers_from_suffix_array.cpp:51-65) instead of just reporting
+    it.  Distributed: posting groupby -> sharded (gram -> owner) kv
+    store -> one vectorized cutting pass; nothing corpus-sized on the
+    driver."""
+    from hsearch_ray.stages.ngramdup import cut_dup_spans
+
+    return cut_dup_spans(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        k=_DUP_NGRAM_K,
+    )
+
+
 def q_event_transitions(sf_dir: str):
     """Markov transition matrix of the event stream (ordered-lag /
     LAG-window pattern as a distributed operator): (prev_type,
@@ -3675,6 +3694,7 @@ QUERIES = {
     "repetition_docs": q_repetition_docs,
     "line_dedup_docs": q_line_dedup_docs,
     "dup_ngram_docs": q_dup_ngram_docs,
+    "cut_dup_spans_docs": q_cut_dup_spans_docs,
     "semantic_dup_pairs": q_semantic_dup_pairs,
     "scrub_docs": q_scrub_docs,
     "tfidf_docs": q_tfidf_docs,
@@ -4454,6 +4474,45 @@ ORACLE_SQL = {
                                           '{_SCRUB_REP}', 'g')) AS BIGINT)
                  AS scrubbed_len
         FROM documents
+    """,
+    "cut_dup_spans_docs": f"""
+        WITH pos AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, length(text) - {_DUP_NGRAM_K - 1}))
+                   AS p
+          FROM documents
+          WHERE length(text) >= {_DUP_NGRAM_K}
+        ),
+        occ AS (
+          SELECT p.doc_id, p.p, substr(d.text, p.p, {_DUP_NGRAM_K}) AS g
+          FROM pos p JOIN documents d USING (doc_id)
+        ),
+        own AS (SELECT g, min(doc_id) AS owner FROM occ GROUP BY g),
+        cuts AS (
+          SELECT o.doc_id, o.p
+          FROM occ o JOIN own w USING (g)
+          WHERE w.owner <> o.doc_id
+        ),
+        chars AS (
+          SELECT doc_id, unnest(generate_series(1, length(text))) AS cp
+          FROM documents
+          WHERE length(text) >= 1
+        ),
+        marked AS (
+          SELECT c.doc_id, c.cp, count(t.p) > 0 AS covered
+          FROM chars c LEFT JOIN cuts t
+            ON t.doc_id = c.doc_id
+           AND t.p BETWEEN c.cp - {_DUP_NGRAM_K - 1} AND c.cp
+          GROUP BY c.doc_id, c.cp
+        )
+        SELECT d.doc_id,
+               coalesce(string_agg(substr(d.text, m.cp, 1), ''
+                                   ORDER BY m.cp)
+                          FILTER (WHERE NOT m.covered), '') AS clean_text,
+               CAST(coalesce(count(*) FILTER (WHERE m.covered), 0)
+                    AS BIGINT) AS n_cut
+        FROM documents d LEFT JOIN marked m USING (doc_id)
+        GROUP BY d.doc_id
     """,
     "dup_ngram_docs": f"""
         WITH pos AS (

@@ -160,3 +160,133 @@ def dup_ngram_stats(docs_ds, k: int, id_col: str = "doc_id",
         }),
         batch_format="pandas",
     )
+
+
+# ------------------------------------------------------- span cutting
+#
+# Exact-substring span CUTTING — the rewrite step of Lee et al. (ACL
+# 2022): every occurrence of a cross-doc duplicated k-gram is removed
+# from every doc except the gram's canonical owner (min doc_id), and
+# overlapping removals merge into spans.  The reference's suffix-array
+# pass stops at the shared-substring LEDGER
+# (gen_kmers_from_suffix_array.cpp:51-65); this operator completes the
+# family by emitting the cleaned corpus itself.
+
+_CUT_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("clean_text", pa.string()),
+     ("n_cut", pa.int64())]
+)
+
+
+def _raw_views(batch: pa.Table, id_col: str, text_col: str):
+    """(ids, byte offsets, concatenated raw bytes) zero-copy views of a
+    string column — RAW bytes (no CRLF/canon edits), so gram positions
+    map 1:1 onto the original text."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(I64)
+    col = batch[text_col].cast(pa.large_binary())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+    off = np.frombuffer(col.buffers()[1], dtype=np.int64,
+                        count=len(col) + 1, offset=col.offset * 8)
+    buf = col.buffers()[2]
+    data = (np.frombuffer(buf, dtype=np.uint8)
+            if buf is not None and len(buf) else np.empty(0, np.uint8))
+    data = data[off[0]:off[-1]]
+    return ids, off - off[0], data
+
+
+def _positional_grams(off: np.ndarray, data: np.ndarray, k: int):
+    """(gram hashes, owning-row index, data-space positions) for every
+    in-doc k-gram window of a batch: ONE rolling-hash pass over the
+    concatenated buffer, windows crossing doc boundaries not sliced."""
+    from hsearch_ray import hashing as H
+    from hsearch_ray.stages.verify import _concat_ranges
+
+    glens = np.maximum(np.diff(off) - k + 1, 0)
+    if int(glens.sum()) == 0:
+        e = np.empty(0, I64)
+        return e, e, e
+    full = H.rolling_hash(data, k)
+    pos = _concat_ranges(off[:-1][glens > 0], glens[glens > 0])
+    docix = np.repeat(np.arange(glens.size, dtype=I64), glens)
+    return full[pos].view(I64), docix, pos
+
+
+def cut_dup_spans(docs_ds, k: int, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Rewrite every doc with its cross-doc duplicated k-gram spans cut.
+
+    Semantics (deterministic, SQL-oracle-matched): a k-gram occurring
+    in >= 2 docs has a canonical OWNER = the smallest doc_id holding
+    it; in every other doc, all bytes covered by any occurrence of the
+    gram are removed (covered = union of [p, p+k) windows).  The owner
+    keeps its text for that gram, so exactly one copy of every shared
+    substring survives corpus-wide.
+
+    Physical plan: distinct (gram, doc) postings -> distributed grouped
+    (min, count) -> duplicated grams only into an id-range-sharded kv
+    store (gram hash -> owner) -> one cutting pass over the corpus that
+    probes the store per batch and rebuilds each doc's bytes with a
+    vectorized coverage diff-array.  Gram hashes are uniform, so every
+    batch probes ~all shards: the store must fit aggregate cluster
+    memory (it is the DUPLICATED-gram set only); beyond that, replace
+    the probe with a sort-based semi-join on gram hash.  Byte-level
+    cutting assumes ASCII text (multibyte chars could split)."""
+    import ray as _ray
+
+    from hsearch_ray.stages.agg import grouped_agg_ds
+    from hsearch_ray.stages.lsh import _kv_lookup, build_kv_store
+
+    def _postings(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("g", pa.int64()), ("doc_id", pa.int64())])
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        ids, off, data = _raw_views(batch, id_col, text_col)
+        gi, docix, _ = _positional_grams(off, data, k)
+        if gi.size == 0:
+            return schema.empty_table()
+        di = ids[docix]
+        order = np.lexsort((gi, di))
+        gs, ds_ = gi[order], di[order]
+        first = np.concatenate(
+            ([True], (ds_[1:] != ds_[:-1]) | (gs[1:] != gs[:-1])))
+        return pa.table({"g": pa.array(gs[first], pa.int64()),
+                         "doc_id": pa.array(ds_[first], pa.int64())})
+
+    postings = docs_ds.map_batches(_postings, batch_format="pyarrow",
+                                   batch_size=2048)
+    # docs are whole within a batch => (g, doc) rows globally distinct,
+    # so the grouped count is the number of docs holding the gram
+    own = grouped_agg_ds(postings, ["g"], {"doc_id": ["min"]},
+                         count_alias="nd")
+    dup = own.filter(expr="nd >= 2")
+    store_ref = _ray.put(build_kv_store(dup, "g", "doc_id__min"))
+
+    def _cut(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _CUT_SCHEMA.empty_table()
+        ids, off, data = _raw_views(batch, id_col, text_col)
+        gi, docix, pos = _positional_grams(off, data, k)
+        cover = np.zeros(data.size + 1, dtype=np.int64)
+        if gi.size:
+            owner, found = _kv_lookup(store_ref).lookup(gi)
+            cutm = found & (owner != ids[docix])
+            pcut = pos[cutm]
+            np.add.at(cover, pcut, 1)
+            np.add.at(cover, pcut + k, -1)  # p+k <= doc end <= data.size
+        covered = np.cumsum(cover[:-1]) > 0
+        texts: list[str] = []
+        ncut = np.zeros(ids.size, dtype=I64)
+        for i in range(ids.size):
+            s, e = int(off[i]), int(off[i + 1])
+            cv = covered[s:e]
+            ncut[i] = int(cv.sum())
+            texts.append(data[s:e][~cv].tobytes().decode("utf-8"))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "clean_text": pa.array(texts, pa.string()),
+            "n_cut": pa.array(ncut, pa.int64()),
+        })
+
+    return docs_ds.map_batches(_cut, batch_format="pyarrow",
+                               batch_size=2048)

@@ -280,3 +280,60 @@ def test_crlf_pair_detected(ray_session):
     res = dedup_pipeline(ray.data.from_arrow(tbl), PipelineConfig())
     cl = {int(r["file_id"]): int(r["cluster_id"]) for r in res.clusters.take_all()}
     assert len(set(cl.values())) == 1
+
+
+def test_cut_dup_spans_matches_bruteforce(ray_session):
+    """cut_dup_spans == a per-corpus brute-force reimplementation of the
+    Lee-et-al cut semantics (owner = min doc_id keeps; every other
+    occurrence's [p, p+k) window is removed; windows merge)."""
+    import ray.data
+
+    from hsearch_ray.stages.ngramdup import cut_dup_spans
+
+    k = 8
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = {
+        1: f"alpha {shared} omega",
+        2: f"prefix {shared} suffix text",          # loses the shared span
+        3: "completely unrelated content here",
+        4: f"{shared}",                              # loses everything
+        5: "short",                                  # < k: untouched
+        6: "",                                       # empty: untouched
+        7: f"tail omega {shared}",                   # 'omega'? too short to share alone
+    }
+
+    def brute():
+        from collections import defaultdict
+
+        owner: dict[str, int] = {}
+        holders = defaultdict(set)
+        for d in sorted(docs):
+            t = docs[d]
+            for p in range(max(0, len(t) - k + 1)):
+                g = t[p:p + k]
+                holders[g].add(d)
+                owner.setdefault(g, d)
+        out = {}
+        for d, t in docs.items():
+            cov = [False] * len(t)
+            for p in range(max(0, len(t) - k + 1)):
+                g = t[p:p + k]
+                if len(holders[g]) >= 2 and owner[g] != d:
+                    for j in range(p, p + k):
+                        cov[j] = True
+            out[d] = ("".join(c for c, m in zip(t, cov) if not m),
+                      sum(cov))
+        return out
+
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in docs.items()]
+    ).repartition(3)
+    got = {
+        int(r["doc_id"]): (r["clean_text"], int(r["n_cut"]))
+        for r in cut_dup_spans(ds, k=k).to_pandas().to_dict("records")
+    }
+    want = brute()
+    assert got == want
+    assert got[5] == ("short", 0) and got[6] == ("", 0)
+    assert got[4][0] == "" and got[4][1] == len(shared)
+    assert got[1] == (docs[1], 0)  # min-id owner keeps every span
