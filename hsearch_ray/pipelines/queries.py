@@ -3638,6 +3638,193 @@ def q_similarity_pagerank_docs(sf_dir: str):
                      descending=[True, False]).limit(20)
 
 
+def q_cube_lineitem(sf_dir: str):
+    """Multi-dimensional aggregate (GROUP BY CUBE shape, the ROLLUP
+    query's 2^d-grouping-set sibling): row count + quantity/price cent
+    sums per (l_returnflag, l_linestatus), per-flag and per-status
+    subtotals, and a grand total, with 'ALL' as the rolled-up key.  The
+    heavy pass is ONE distributed partial aggregation at the finest
+    grain; all four grouping sets derive from the (flags x statuses)-
+    sized base on the driver — pure arithmetic on a table whose size is
+    the key-domain product, not the corpus."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus",
+                        "l_quantity", "l_extendedprice"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "qty_c": _cents(df["l_quantity"]),
+            "price_c": _cents(df["l_extendedprice"]),
+        })
+
+    base = grouped_agg(
+        ds.map_batches(prep, batch_format="pandas", batch_size=65536),
+        ["l_returnflag", "l_linestatus"],
+        {"qty_c": ["sum"], "price_c": ["sum"]}, count_alias="n_rows",
+    ).rename(columns={"qty_c__sum": "sum_qty_c", "price_c__sum": "sum_price_c"})
+    aggs = ["n_rows", "sum_qty_c", "sum_price_c"]
+    by_f = base.groupby("l_returnflag", as_index=False)[aggs].sum()
+    by_f["l_linestatus"] = "ALL"
+    by_s = base.groupby("l_linestatus", as_index=False)[aggs].sum()
+    by_s["l_returnflag"] = "ALL"
+    total = pd.DataFrame({"l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+                          **{c: [base[c].sum()] for c in aggs}})
+    out = pd.concat([base, by_f, by_s, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus"] + aggs
+    ]
+    for c in aggs:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def q_mode_event_type(sf_dir: str):
+    """Grouped MODE (argmax-by-join): each user's most frequent event
+    type with its count, ties to the lexicographically smallest type.
+    Works for UNBOUNDED group and value cardinality — three distributed
+    passes, nothing corpus-sized on the driver: (1) per-(user, type)
+    counts via the distributed grouped combine, (2) per-user max count,
+    (3) a hash-shuffle join of counts against their group max + a final
+    min-combine over the tied types.  The per-user result is returned
+    as a Dataset, so at scale it streams straight to a sink."""
+    from hsearch_ray.stages.agg import grouped_agg_ds
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    counts = grouped_agg_ds(ev, ["user_id", "event_type"], {},
+                            count_alias="n")
+    mx = grouped_agg_ds(counts, ["user_id"], {"n": ["max"]})
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    joined = counts.join(
+        mx, join_type="inner", num_partitions=num_partitions,
+        on=("user_id",), right_on=("user_id",),
+    )
+    winners = joined.map_batches(
+        lambda df: df.loc[
+            df["n"].to_numpy() == df["n__max"].to_numpy(),
+            ["user_id", "event_type", "n"],
+        ],
+        batch_format="pandas", batch_size=65536,
+    )
+    out = grouped_agg_ds(winners, ["user_id"],
+                         {"event_type": ["min"], "n": ["max"]})
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(dtype=np.int64),
+            "mode_type": df["event_type__min"],
+            "n_events": df["n__max"].to_numpy(dtype=np.int64),
+        }),
+        batch_format="pandas",
+    )
+
+
+def q_triangle_count_docs(sf_dir: str):
+    """Triangle count over the document similarity graph (graph-level
+    clustering-coefficient evidence beyond PageRank): edges are the
+    EXACT bigram-set Jaccard >= 1/2 pairs (same definition as
+    set_join_pairs_docs, recall 1 by the prefix-filter theorem), and
+    the count is the classic two-join MapReduce formulation
+    (stages/graph.py:triangle_count; the wedge/closure semantics are
+    property-tested there on planted graphs).  Both joins are Dataset
+    hash shuffles; only the single count lands on the driver."""
+    from hsearch_ray.stages.graph import triangle_count
+    from hsearch_ray.stages.setjoin import (
+        set_similarity_join,
+        token_bigram_sets,
+    )
+
+    toks = token_bigram_sets(_read(sf_dir, "documents",
+                                   columns=["doc_id", "text"]))
+    edges = set_similarity_join(toks, num=1, den=2).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    return pd.DataFrame({"n_triangles": pd.array([triangle_count(edges)],
+                                                 dtype="int64")})
+
+
+_Q3_CUTOFF = "1998-06-01"
+
+
+def q_top_building_orders(sf_dir: str):
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped-revenue
+    orders for the BUILDING segment — the engine's CHAINED big x big
+    join: lineitem-revenue partials ⋈ orders on orderkey, then ⋈
+    customer on custkey, are BOTH corpus-scale hash-shuffle joins
+    (customer is NOT broadcast — the segment filter is applied inside
+    the join's own shuffle, so the plan survives a customer table that
+    outgrows any single node).  Filters prune at the map stage before
+    either shuffle; revenue is int cents per row (float discipline);
+    top-10 rides the distributed sort + limit."""
+    from hsearch_ray.stages.agg import grouped_agg_ds
+
+    cutoff = np.datetime64(_Q3_CUTOFF, "us")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"])
+
+    def _rev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["l_shipdate"].to_numpy().astype("datetime64[us]") > cutoff
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64)[m],
+            "rev_c": _cents(df["l_extendedprice"].to_numpy()[m]
+                            * (1.0 - df["l_discount"].to_numpy()[m])),
+        })
+
+    per_order = grouped_agg_ds(
+        li.map_batches(_rev, batch_format="pandas", batch_size=65536),
+        ["l_orderkey"], {"rev_c": ["sum"]},
+    )
+
+    def _ord(df: pd.DataFrame) -> pd.DataFrame:
+        dts = df["o_orderdate"].to_numpy().astype("datetime64[us]")
+        m = dts < cutoff
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(dtype=np.int64)[m],
+            "o_custkey": df["o_custkey"].to_numpy(dtype=np.int64)[m],
+            "date_us": dts[m].astype(np.int64),
+            "o_orderpriority": df["o_orderpriority"].to_numpy()[m],
+        })
+
+    okeys = _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_custkey", "o_orderdate",
+                           "o_orderpriority"]).map_batches(
+        _ord, batch_format="pandas", batch_size=65536)
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    j1 = per_order.join(
+        okeys, join_type="inner", num_partitions=num_partitions,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    # schema barrier before chaining a second join (see
+    # stages/graph.py:triangle_count): empty join partitions emit
+    # empty-schema bundles the next join's key FieldRefs can't resolve
+    j1 = j1.repartition(num_partitions)
+
+    def _seg(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["c_mktsegment"].to_numpy() == "BUILDING"
+        return pd.DataFrame(
+            {"c_custkey": df["c_custkey"].to_numpy(dtype=np.int64)[m]})
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).map_batches(
+        _seg, batch_format="pandas", batch_size=65536)
+    j2 = j1.join(
+        cust, join_type="inner", num_partitions=num_partitions,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    return (
+        j2.map_batches(
+            lambda df: pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].to_numpy(dtype=np.int64),
+                "rev_c": df["rev_c__sum"].to_numpy(dtype=np.int64),
+                "date_us": df["date_us"].to_numpy(dtype=np.int64),
+                "o_orderpriority": df["o_orderpriority"],
+            }),
+            batch_format="pandas",
+        )
+        .sort(["rev_c", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "exact_dup_pairs_docs": q_exact_dup_pairs_docs,
@@ -3737,6 +3924,10 @@ QUERIES = {
     "corpus_diff_docs": q_corpus_diff_docs,
     "chunk_docs": q_chunk_docs,
     "approx_quantiles_by_type": q_approx_quantiles_by_type,
+    "cube_lineitem": q_cube_lineitem,
+    "mode_event_type": q_mode_event_type,
+    "triangle_count_docs": q_triangle_count_docs,
+    "top_building_orders": q_top_building_orders,
 }
 
 
@@ -4789,7 +4980,8 @@ ORACLE_SQL["user_running_value"] = """
 
 # Set-similarity join: same \S+ tokenizer as tfidf_docs; bigram = the
 # two adjacent tokens joined by one space; Jaccard >= 1/2 in integers.
-ORACLE_SQL["set_join_pairs_docs"] = r"""
+# shared by set_join_pairs_docs and (as the edge CTE) triangle_count_docs
+_SET_JOIN_SQL = r"""
     WITH ll AS (
       SELECT doc_id, regexp_extract_all(text, '\S+') AS l FROM documents
     ),
@@ -4809,6 +5001,61 @@ ORACLE_SQL["set_join_pairs_docs"] = r"""
     JOIN sz sa ON sa.doc_id = i.a
     JOIN sz sb ON sb.doc_id = i.b
     WHERE 2 * i.n_common >= (sa.s + sb.s - i.n_common)
+"""
+ORACLE_SQL["set_join_pairs_docs"] = _SET_JOIN_SQL
+
+# each triangle x<y<z appears exactly once: edges are stored a<b, so the
+# wedge join picks (x,y),(y,z) and the closure join checks (x,z)
+ORACLE_SQL["triangle_count_docs"] = f"""
+    WITH e AS (SELECT a, b FROM ({_SET_JOIN_SQL}))
+    SELECT count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+ORACLE_SQL["cube_lineitem"] = """
+    SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+           coalesce(l_linestatus, 'ALL') AS l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_qty_c,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_price_c
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ORACLE_SQL["mode_event_type"] = """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+    ),
+    m AS (SELECT user_id, max(n) AS mx FROM c GROUP BY 1)
+    SELECT c.user_id, min(c.event_type) AS mode_type,
+           CAST(m.mx AS BIGINT) AS n_events
+    FROM c JOIN m ON c.user_id = m.user_id AND c.n = m.mx
+    GROUP BY c.user_id, m.mx
+"""
+
+ORACLE_SQL["top_building_orders"] = f"""
+    WITH r AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+      GROUP BY 1
+    )
+    SELECT r.l_orderkey, r.rev_c,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS date_us,
+           o.o_orderpriority
+    FROM r
+    JOIN orders o ON o.o_orderkey = r.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+      AND c.c_mktsegment = 'BUILDING'
+    ORDER BY r.rev_c DESC, r.l_orderkey
+    LIMIT 10
 """
 
 ORACLE_SQL["user_moving_window"] = """

@@ -146,3 +146,35 @@ def pagerank_local(edges: np.ndarray, damping_ppm: int = 850_000,
         np.add.at(rank, di, c)
         rank += floor
     return {int(k): int(v) for k, v in zip(nodes, rank)}
+
+
+def triangle_count(edges_ds) -> int:
+    """Distributed triangle count over an UNDIRECTED edge set stored
+    once per edge as columns (a, b) with a < b — the two-join MapReduce
+    formulation (Suri & Vassilvitskii WWW'11 shape): wedges = edges ⋈
+    edges on the middle vertex, closed wedges = wedges ⋈ edges on the
+    (low, high) endpoints.  Because edges are canonical a < b, every
+    triangle x<y<z materializes exactly one wedge (x,y),(y,z) and one
+    closure probe (x,z) — no /6 correction, no driver adjacency; both
+    joins are Dataset hash shuffles and only the count leaves the
+    cluster."""
+    import ray
+
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    e2 = edges_ds.rename_columns(["w_mid", "w_hi"])
+    wedges = edges_ds.join(
+        e2, join_type="inner", num_partitions=num_partitions,
+        on=("b",), right_on=("w_mid",),
+    )
+    # schema barrier: the hash-shuffle join emits EMPTY-SCHEMA bundles
+    # for empty partitions (map UDFs are skipped on zero-row blocks, so
+    # they can't repair it) and a downstream join then fails resolving
+    # its key FieldRefs; the repartition rebuilds uniform-schema blocks
+    # at wedge (not corpus) size
+    wedges = wedges.repartition(num_partitions)
+    e3 = edges_ds.rename_columns(["c_lo", "c_hi"])
+    closed = wedges.join(
+        e3, join_type="inner", num_partitions=num_partitions,
+        on=("a", "w_hi"), right_on=("c_lo", "c_hi"),
+    )
+    return int(closed.count())

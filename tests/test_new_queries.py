@@ -69,6 +69,10 @@ NEW_QUERIES = [
     "boolean_search_docs",
     # every remaining oracle-bearing query (driver-era set), so the
     # suite — not only the per-round driver run — guards ALL oracles
+    "cube_lineitem",
+    "mode_event_type",
+    "triangle_count_docs",
+    "top_building_orders",
     "ann_topk",
     "cluster_radius_docs",
     "cluster_stats_docs",
@@ -146,6 +150,10 @@ MIN_ROWS = {
     "warc_roundtrip_docs": 500,
     "minmax_norm_events": 1000,
     "boolean_search_docs": 500,
+    "cube_lineitem": 12,
+    "mode_event_type": 15,
+    "triangle_count_docs": 1,
+    "top_building_orders": 10,
 }
 # driver-era queries: the oracle compare already pins EXACT row-count
 # equality; 1 here only guards the vacuously-empty case
@@ -998,3 +1006,59 @@ def test_boolean_search_conjunctive_semantics(ray_session, tmp_path):
     out = q_boolean_search_docs(str(tmp_path)).to_pandas()
     hits = set(out[out["query_id"] == qid]["doc_id"])
     assert hits == {0, 3}
+
+
+def test_triangle_count_planted_graphs(ray_session):
+    """Wedge/closure semantics on hand-built graphs: a 4-clique has
+    C(4,3)=4 triangles, a path graph (wedges, no closure) has 0, the
+    two components never cross-count, and the result is independent of
+    block layout (16 one-edge blocks force every join-key boundary)."""
+    import ray
+
+    from hsearch_ray.stages.graph import triangle_count
+
+    # component 1: 4-clique on {0,1,2,3}; component 2: path 10-11-12-13
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    path = [(10, 11), (11, 12), (12, 13)]
+    edges = clique + path
+    for nblocks in (1, 16):
+        ds = ray.data.from_arrow(pa.table({
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        })).repartition(nblocks)
+        assert triangle_count(ds) == 4, nblocks
+
+
+def test_mode_tie_break_and_block_independence(ray_session, tmp_path):
+    """Grouped mode must break count ties to the lexicographically
+    smallest type, and the argmax-by-join plan must not depend on how
+    (user, type) rows land in blocks."""
+    import pyarrow.parquet as pq
+
+    from hsearch_ray.pipelines.queries import q_mode_event_type
+
+    rows = (
+        [(1, "b")] * 3 + [(1, "a")] * 3 + [(1, "c")] * 2   # tie a/b -> a
+        + [(2, "z")] * 5 + [(2, "a")] * 4                   # clear winner z
+        + [(3, "m")]                                        # singleton
+    )
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "event_type": [r[1] for r in rows],
+        "ts": pd.to_datetime(np.arange(len(rows)), unit="s"),
+        "value": np.zeros(len(rows)),
+        "props": [""] * len(rows),
+    })
+    ddir = tmp_path / "events.parquet"
+    ddir.mkdir()
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    # interleaved shards: every user's rows span shards/blocks
+    for i in range(4):
+        pq.write_table(t.take(list(range(i, len(rows), 4))),
+                       ddir / f"part-{i}.parquet")
+    out = q_mode_event_type(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert list(out["user_id"]) == [1, 2, 3]
+    assert list(out["mode_type"]) == ["a", "z", "m"]
+    assert list(out["n_events"]) == [3, 5, 1]
