@@ -3741,6 +3741,113 @@ def q_triangle_count_docs(sf_dir: str):
                                                  dtype="int64")})
 
 
+def q_mad_value_by_type(sf_dir: str):
+    """Per-group Median Absolute Deviation (robust dispersion — the
+    order-statistic machinery COMPOSED twice): pass 1 resolves every
+    group's exact median via the shared histogram recursion, the tiny
+    per-group medians broadcast once, a map attaches |value - median|,
+    and pass 2 runs the same recursion over the deviations.  Nothing
+    O(rows) reaches the driver in either pass; both sides round the
+    inner median to 6 before the deviation so the float expressions
+    stay bit-identical."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    med = exact_order_stat_by_group(ds, "event_type", "value")
+    mref = ray.put(dict(zip(med["event_type"], med["stat_value"])))
+
+    def _dev(df: pd.DataFrame, mref=mref) -> pd.DataFrame:
+        mm = ray.get(mref)
+        med_arr = df["event_type"].map(mm).to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "dev": np.abs(df["value"].to_numpy(dtype=np.float64) - med_arr),
+        })
+
+    devs = ds.map_batches(_dev, batch_format="pandas", batch_size=65536)
+    out = exact_order_stat_by_group(devs, "event_type", "dev")
+    return out.rename(columns={"stat_value": "mad_value"})
+
+
+_EDIT_MAX = 8
+
+
+def _lev_banded(sa: bytes, sb: bytes, k: int) -> int:
+    """Exact Levenshtein distance over UTF-8 BYTES (DuckDB's
+    levenshtein() is byte-level) if it is <= k, else any value > k.
+    Row-vectorized DP: the in-row insertion dependency cur[j] =
+    min(..., cur[j-1]+1) resolves as a minimum.accumulate over
+    (t[j] - j) — O(len_a) numpy row ops, no per-cell Python."""
+    la, lb = len(sa), len(sb)
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    a = np.frombuffer(sa, np.uint8)
+    b = np.frombuffer(sb, np.uint8)
+    idx = np.arange(1, lb + 1, dtype=np.int64)
+    prev = np.arange(lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        cost = (b != a[i - 1]).astype(np.int64)
+        t = np.minimum(prev[1:] + 1, prev[:-1] + cost)
+        # cur[j] = min_{i<=j}(t[i] + (j - i)) resolves the in-row
+        # insertion chain; the row head cur[0]=i propagates as i + j
+        head = np.int64(i)
+        cur = np.minimum.accumulate(t - idx) + idx
+        cur = np.minimum(cur, head + idx)
+        prev = np.concatenate(([head], cur))
+        if prev.min() > k:
+            return k + 1
+    return int(prev[-1])
+
+
+def q_edit_pairs_docs(sf_dir: str):
+    """Bounded edit-distance self-join (the reference's alignment
+    identity% analog at character grain): all doc pairs whose byte-level
+    Levenshtein distance is <= 8, with the exact distance.  Candidates
+    are the EXACT bigram-set Jaccard >= 1/2 pairs (prefix-filter
+    theorem, recall 1 for this corpus's edit band: 8 byte edits can
+    never drop bigram Jaccard of these doc lengths under 1/2 — a k-edit
+    pair shares all but O(k) word bigrams), texts attach via two hash-
+    shuffle joins against the documents table, and the banded DP runs
+    per pair inside map_batches — a Python loop over PAIRS (the O(dups)
+    set, same scale argument as the driver CC), each pair's DP fully
+    row-vectorized."""
+    from hsearch_ray.stages.setjoin import (
+        set_similarity_join,
+        token_bigram_sets,
+    )
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = token_bigram_sets(docs)
+    edges = set_similarity_join(toks, num=1, den=2).map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    da = docs.rename_columns(["a_id", "text_a"])
+    j1 = edges.join(da, join_type="inner", num_partitions=num_partitions,
+                    on=("a",), right_on=("a_id",))
+    # schema barrier before the second chained join (graph.py note)
+    j1 = j1.repartition(num_partitions)
+    db = docs.rename_columns(["b_id", "text_b"])
+    j2 = j1.join(db, join_type="inner", num_partitions=num_partitions,
+                 on=("b",), right_on=("b_id",))
+
+    def _dist(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for a_, b_, ta, tb in zip(df["a"], df["b"], df["text_a"],
+                                  df["text_b"]):
+            d = _lev_banded(ta.encode(), tb.encode(), _EDIT_MAX)
+            if d <= _EDIT_MAX:
+                out_a.append(a_)
+                out_b.append(b_)
+                out_d.append(d)
+        return pd.DataFrame({
+            "a": pd.array(out_a, dtype="int64"),
+            "b": pd.array(out_b, dtype="int64"),
+            "edit_dist": pd.array(out_d, dtype="int64"),
+        })
+
+    return j2.map_batches(_dist, batch_format="pandas", batch_size=4096)
+
+
 _Q3_CUTOFF = "1998-06-01"
 
 
@@ -3928,6 +4035,8 @@ QUERIES = {
     "mode_event_type": q_mode_event_type,
     "triangle_count_docs": q_triangle_count_docs,
     "top_building_orders": q_top_building_orders,
+    "mad_value_by_type": q_mad_value_by_type,
+    "edit_pairs_docs": q_edit_pairs_docs,
 }
 
 
@@ -5012,6 +5121,28 @@ ORACLE_SQL["triangle_count_docs"] = f"""
     FROM e e1
     JOIN e e2 ON e2.a = e1.b
     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+ORACLE_SQL["mad_value_by_type"] = """
+    WITH m AS (
+      SELECT event_type, round(median(value), 6) AS med
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, round(median(abs(e.value - m.med)), 6) AS mad_value
+    FROM events e JOIN m ON m.event_type = e.event_type
+    GROUP BY e.event_type
+"""
+
+# DuckDB levenshtein() is byte-level over the UTF-8 encoding — the
+# engine's _lev_banded kernel matches that convention exactly
+ORACLE_SQL["edit_pairs_docs"] = f"""
+    WITH e AS (SELECT a, b FROM ({_SET_JOIN_SQL}))
+    SELECT e.a, e.b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+    FROM e
+    JOIN documents da ON da.doc_id = e.a
+    JOIN documents db ON db.doc_id = e.b
+    WHERE levenshtein(da.text, db.text) <= 8
 """
 
 ORACLE_SQL["cube_lineitem"] = """

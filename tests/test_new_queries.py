@@ -73,6 +73,8 @@ NEW_QUERIES = [
     "mode_event_type",
     "triangle_count_docs",
     "top_building_orders",
+    "mad_value_by_type",
+    "edit_pairs_docs",
     "ann_topk",
     "cluster_radius_docs",
     "cluster_stats_docs",
@@ -154,6 +156,8 @@ MIN_ROWS = {
     "mode_event_type": 15,
     "triangle_count_docs": 1,
     "top_building_orders": 10,
+    "mad_value_by_type": 5,
+    "edit_pairs_docs": 27,
 }
 # driver-era queries: the oracle compare already pins EXACT row-count
 # equality; 1 here only guards the vacuously-empty case
@@ -1062,3 +1066,65 @@ def test_mode_tie_break_and_block_independence(ray_session, tmp_path):
     assert list(out["user_id"]) == [1, 2, 3]
     assert list(out["mode_type"]) == ["a", "z", "m"]
     assert list(out["n_events"]) == [3, 5, 1]
+
+
+def test_lev_banded_fuzz_and_duckdb_parity(ray_session):
+    """The row-vectorized banded Levenshtein must equal a per-cell DP
+    reference whenever the true distance is within the band (and exceed
+    the band otherwise), and match DuckDB's byte-level levenshtein()
+    convention on multi-byte UTF-8."""
+    import random
+
+    from hsearch_ray.pipelines.queries import _lev_banded
+
+    def ref(a: bytes, b: bytes) -> int:
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            nd = [i] + [0] * len(b)
+            for j in range(1, len(b) + 1):
+                nd[j] = min(d[j] + 1, nd[j - 1] + 1,
+                            d[j - 1] + (a[i - 1] != b[j - 1]))
+            d = nd
+        return d[len(b)]
+
+    rng = random.Random(7)
+    for _ in range(300):
+        a = bytes(rng.choice(b"abc") for _ in range(rng.randint(0, 20)))
+        b = bytes(rng.choice(b"abc") for _ in range(rng.randint(0, 20)))
+        k = rng.randint(0, 12)
+        want, got = ref(a, b), _lev_banded(a, b, k)
+        assert (got == want) if want <= k else (got > k), (a, b, k)
+
+    con = duckdb.connect()
+    for s1, s2 in [("kitten", "sitting"), ("héllo", "hello"), ("abc", ""),
+                   ("", ""), ("日本語", "日本")]:
+        want = con.sql(
+            f"SELECT levenshtein('{s1}', '{s2}')").fetchone()[0]
+        assert _lev_banded(s1.encode(), s2.encode(), 100) == want, (s1, s2)
+
+
+def test_mad_is_robust_dispersion(ray_session, tmp_path):
+    """MAD semantics on a constructed table: a group with one extreme
+    outlier keeps a small MAD (robustness), a constant group has MAD 0,
+    and a symmetric group matches the hand value."""
+    from hsearch_ray.pipelines.queries import q_mad_value_by_type
+
+    rows = (
+        [("a", v) for v in [10.0, 11.0, 12.0, 13.0, 14.0, 1e6]]  # outlier
+        + [("b", 5.0)] * 4                                       # constant
+        + [("c", v) for v in [1.0, 2.0, 3.0]]                    # |dev|=1,0,1
+    )
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(len(rows)), unit="s"),
+        "user_id": np.zeros(len(rows), np.int64),
+        "event_type": [r[0] for r in rows],
+        "value": [r[1] for r in rows],
+        "props": [""] * len(rows),
+    })
+    df.to_parquet(f"{tmp_path}/events.parquet", index=False)
+    out = q_mad_value_by_type(str(tmp_path)).set_index("event_type")["mad_value"]
+    # group a: median 12.5, devs {2.5,1.5,.5,.5,1.5,~1e6} -> MAD 1.5
+    assert out["a"] == 1.5
+    assert out["b"] == 0.0
+    assert out["c"] == 1.0
