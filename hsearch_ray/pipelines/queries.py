@@ -3848,6 +3848,49 @@ def q_edit_pairs_docs(sf_dir: str):
     return j2.map_batches(_dist, batch_format="pandas", batch_size=4096)
 
 
+def q_degree_histogram_docs(sf_dir: str):
+    """Degree distribution of the document similarity graph (hub/skew
+    telemetry at graph grain — the structural companion of the LSH
+    bucket histogram): per-node degree over the exact bigram-Jaccard
+    >= 1/2 edge set, then node counts per degree.  Two distributed
+    grouped combines (node grain, then degree grain); the final
+    histogram is degree-domain-sized, never corpus-sized."""
+    from hsearch_ray.stages.agg import grouped_agg
+    from hsearch_ray.stages.agg import grouped_agg_ds
+    from hsearch_ray.stages.setjoin import (
+        set_similarity_join,
+        token_bigram_sets,
+    )
+
+    toks = token_bigram_sets(_read(sf_dir, "documents",
+                                   columns=["doc_id", "text"]))
+    edges = set_similarity_join(toks, num=1, den=2)
+
+    def _ends(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b]), pa.int64())})
+
+    deg = grouped_agg_ds(edges.map_batches(_ends, batch_format="pyarrow"),
+                         ["node"], {}, count_alias="deg")
+    out = grouped_agg(deg, ["deg"], {}, count_alias="n_nodes")
+    out["deg"] = out["deg"].astype("int64")
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    return out
+
+
+def q_throttle_events(sf_dir: str):
+    """Stream-throttle dedup: events surviving a 1-hour same-(user,
+    type) LAG debounce (stages/events.py:throttle_events — the
+    repeated-notification suppression every event pipeline runs before
+    training on interaction data)."""
+    from hsearch_ray.stages.events import throttle_events
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    return throttle_events(ds)
+
+
 _Q3_CUTOFF = "1998-06-01"
 
 
@@ -4037,6 +4080,8 @@ QUERIES = {
     "top_building_orders": q_top_building_orders,
     "mad_value_by_type": q_mad_value_by_type,
     "edit_pairs_docs": q_edit_pairs_docs,
+    "degree_histogram_docs": q_degree_histogram_docs,
+    "throttle_events": q_throttle_events,
 }
 
 
@@ -5121,6 +5166,28 @@ ORACLE_SQL["triangle_count_docs"] = f"""
     FROM e e1
     JOIN e e2 ON e2.a = e1.b
     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+ORACLE_SQL["degree_histogram_docs"] = f"""
+    WITH e AS (SELECT a, b FROM ({_SET_JOIN_SQL})),
+    d AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+      ) GROUP BY 1
+    )
+    SELECT CAST(deg AS BIGINT) AS deg, count(*) AS n_nodes
+    FROM d GROUP BY 1
+"""
+
+ORACLE_SQL["throttle_events"] = """
+    WITH x AS (
+      SELECT event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS pts
+      FROM events
+    )
+    SELECT event_id FROM x
+    WHERE pts IS NULL OR ts > pts + INTERVAL 1 HOUR
 """
 
 ORACLE_SQL["mad_value_by_type"] = """

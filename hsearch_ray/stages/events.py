@@ -913,3 +913,99 @@ def grouped_rolling_window(events_ds, k_prev: int = 3):
         })
 
     return narrow.map_batches(_run, batch_format="pyarrow", batch_size=None)
+
+
+def throttle_events(events_ds, gap_sec: int = 3600):
+    """Stream-throttle dedup (the LAG debounce): keep an event iff the
+    previous event of the SAME (user, type) — in (ts, event_id) order —
+    is more than ``gap_sec`` older (or absent).  Exactly DuckDB's
+    ``lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts,
+    event_id)`` formulation, as the module-standard sorted-block scan:
+    one distributed sort by (user, type, ts, id), a vectorized per-block
+    keep mask over interior users, and block-edge users spilled raw to
+    the O(blocks) per-user regroup.  Returns a Dataset of kept
+    ``event_id`` rows — at scale it streams to a sink."""
+    gap_us = I64(gap_sec) * I64(1_000_000)
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "event_type": batch["event_type"].cast(pa.string()),
+            "ts_us": batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()),
+            "event_id": batch["event_id"].cast(pa.int64()),
+        })
+
+    def _keep_mask(user, et, ts):
+        """kept[i] for rows sorted by (user, et, ts, id): first of its
+        (user, type) run, or gap to the predecessor exceeds gap_us."""
+        kept = np.ones(user.size, dtype=bool)
+        if user.size > 1:
+            same = (user[1:] == user[:-1]) & (et[1:] == et[:-1])
+            kept[1:] = ~same | (ts[1:] - ts[:-1] > gap_us)
+        return kept
+
+    _SCHEMA = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("event_type", pa.string()), ("ts_us", pa.int64()),
+         ("kind", pa.int8())]
+    )
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _SCHEMA.empty_table()
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        edge = (user == user[0]) | (user == user[-1])
+        kept = _keep_mask(user, et, ts)
+        # interior rows: row 0 is always edge, so every interior row's
+        # in-block predecessor IS its global (user, type) predecessor
+        keep_i = np.nonzero(~edge & kept)[0]
+        spill = np.nonzero(edge)[0]
+        return pa.table({
+            "event_id": pa.array(
+                np.concatenate([eid[keep_i], eid[spill]]), pa.int64()),
+            "user_id": pa.array(
+                np.concatenate([np.zeros(keep_i.size, I64), user[spill]]),
+                pa.int64()),
+            "event_type": pa.array(
+                np.concatenate([np.full(keep_i.size, "", object), et[spill]]),
+                pa.string()),
+            "ts_us": pa.array(
+                np.concatenate([np.zeros(keep_i.size, I64), ts[spill]]),
+                pa.int64()),
+            "kind": pa.array(
+                np.concatenate([np.zeros(keep_i.size, np.int8),
+                                np.ones(spill.size, np.int8)]), pa.int8()),
+        })
+
+    scanned = (
+        events_ds.map_batches(_prep, batch_format="pyarrow")
+        .sort(["user_id", "event_type", "ts_us", "event_id"])
+        .map_batches(_scan, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def _narrow(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"].cast(pa.int64())})
+
+    interior = scanned.filter(expr="kind == 0").map_batches(
+        _narrow, batch_format="pyarrow")
+
+    def _regroup(group: pa.Table) -> pa.Table:
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        user = group["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, et))
+        kept = _keep_mask(user[order], et[order], ts[order])
+        return pa.table({"event_id": pa.array(eid[order][kept], pa.int64())})
+
+    spill_kept = (
+        scanned.filter(expr="kind == 1")
+        .groupby("user_id")
+        .map_groups(_regroup, batch_format="pyarrow")
+    )
+    return interior.union(spill_kept)

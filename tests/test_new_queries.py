@@ -75,6 +75,8 @@ NEW_QUERIES = [
     "top_building_orders",
     "mad_value_by_type",
     "edit_pairs_docs",
+    "degree_histogram_docs",
+    "throttle_events",
     "ann_topk",
     "cluster_radius_docs",
     "cluster_stats_docs",
@@ -158,6 +160,8 @@ MIN_ROWS = {
     "top_building_orders": 10,
     "mad_value_by_type": 5,
     "edit_pairs_docs": 27,
+    "degree_histogram_docs": 3,
+    "throttle_events": 986,
 }
 # driver-era queries: the oracle compare already pins EXACT row-count
 # equality; 1 here only guards the vacuously-empty case
@@ -1128,3 +1132,39 @@ def test_mad_is_robust_dispersion(ray_session, tmp_path):
     assert out["a"] == 1.5
     assert out["b"] == 0.0
     assert out["c"] == 1.0
+
+
+def test_throttle_strictness_and_spill(ray_session):
+    """Debounce semantics on adversarial timelines: gap EXACTLY 1h is
+    suppressed (strictly-greater), each kept event resets the LAG
+    reference to its own predecessor (not a window anchor), types and
+    users throttle independently — identical at 1 and 16 blocks (every
+    user through the spill regroup)."""
+    import ray
+
+    from hsearch_ray.stages.events import throttle_events
+
+    H = 3600
+    rows = [
+        # u0/click at 0, +1h (== gap: drop), +1h+1s from PREVIOUS (kept:
+        # LAG is per-event, so 7201 - 3600 = 3601 > 3600)
+        (0, "click", 0), (0, "click", H), (0, "click", 2 * H + 1),
+        # u0/view independent of clicks
+        (0, "view", 10),
+        # u1: dense burst -> only the first survives
+        (1, "click", 0), (1, "click", 1), (1, "click", 2),
+        # u1: far-apart pair -> both survive
+        (1, "view", 0), (1, "view", 2 * H),
+    ]
+    df = pd.DataFrame({
+        "event_id": np.arange(len(rows), dtype=np.int64),
+        "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "event_type": [r[1] for r in rows],
+        "ts": pd.to_datetime([r[2] for r in rows],
+                             unit="s").astype("datetime64[us]"),
+    })
+    want = {0, 2, 3, 4, 7, 8}  # event_ids surviving the debounce
+    for nblocks in (1, 16):
+        ds = ray.data.from_pandas(df).repartition(nblocks)
+        got = set(throttle_events(ds).to_pandas()["event_id"])
+        assert got == want, nblocks
