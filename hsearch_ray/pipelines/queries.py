@@ -3848,6 +3848,43 @@ def q_edit_pairs_docs(sf_dir: str):
     return j2.map_batches(_dist, batch_format="pandas", batch_size=4096)
 
 
+def q_approx_users_by_type(sf_dir: str):
+    """GROUPED HyperLogLog: approximate distinct users per event_type —
+    the mergeable sketch composed with grouped aggregation.  Each block
+    contributes one 2^p-byte register row PER GROUP PRESENT IN THE
+    BLOCK (O(types) rows per block, user ids never shuffle); the driver
+    max-merges per group over O(blocks x types) rows.  Rows-only by
+    design (approximate); the pytest pins per-group accuracy against
+    exact nunique and run-to-run determinism.  The small-range
+    linear-counting correction makes low-cardinality groups near-exact."""
+    import polars as pl
+
+    from hsearch_ray.stages.sketches import hll_estimate, hll_merge, hll_partial
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_t, out_r = [], []
+        for et, g in df.groupby("event_type", sort=False):
+            h = pl.from_pandas(
+                g["user_id"].astype("int64")).hash(seed=7).to_numpy()
+            out_t.append(et)
+            out_r.append(hll_partial(h, p=_HLL_P).tobytes())
+        return pd.DataFrame({"event_type": out_t, "regs": out_r})
+
+    rows = ds.map_batches(_partial, batch_format="pandas",
+                          batch_size=65536).to_pandas()
+    recs = []
+    for et, g in rows.groupby("event_type", sort=True):
+        merged = hll_merge(np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in g["regs"]]))
+        recs.append((et, hll_estimate(merged)))
+    return pd.DataFrame({
+        "event_type": [r[0] for r in recs],
+        "approx_users": pd.array([r[1] for r in recs], dtype="int64"),
+    })
+
+
 def q_degree_histogram_docs(sf_dir: str):
     """Degree distribution of the document similarity graph (hub/skew
     telemetry at graph grain — the structural companion of the LSH
@@ -4082,6 +4119,7 @@ QUERIES = {
     "edit_pairs_docs": q_edit_pairs_docs,
     "degree_histogram_docs": q_degree_histogram_docs,
     "throttle_events": q_throttle_events,
+    "approx_users_by_type": q_approx_users_by_type,
 }
 
 

@@ -1168,3 +1168,22 @@ def test_throttle_strictness_and_spill(ray_session):
         ds = ray.data.from_pandas(df).repartition(nblocks)
         got = set(throttle_events(ds).to_pandas()["event_id"])
         assert got == want, nblocks
+
+
+def test_grouped_hll_accuracy_and_determinism(ray_session):
+    """Grouped HLL per-group estimates land within 5% of exact distinct
+    users (linear counting makes sf-scale groups near-exact), cover
+    exactly the group set, and are deterministic run to run."""
+    from hsearch_ray.pipelines.queries import QUERIES
+
+    out1 = QUERIES["approx_users_by_type"](SF)
+    out2 = QUERIES["approx_users_by_type"](SF)
+    pd.testing.assert_frame_equal(out1, out2)
+
+    events = pd.read_parquet(f"{SF}/events.parquet",
+                             columns=["event_type", "user_id"])
+    exact = events.groupby("event_type")["user_id"].nunique()
+    got = out1.set_index("event_type")["approx_users"]
+    assert sorted(got.index) == sorted(exact.index)
+    for et in exact.index:
+        assert abs(int(got[et]) - int(exact[et])) <= max(1, 0.05 * exact[et]), et
