@@ -25,7 +25,8 @@ import ray
 import ray.data
 from hsearch_ray.config import PipelineConfig
 from hsearch_ray.stages import textstats
-from hsearch_ray.stages.agg import distinct_rows, grouped_agg
+from hsearch_ray.stages.agg import (default_num_partitions, distinct_rows,
+                                    grouped_agg)
 
 # ---------------------------------------------------------------- helpers
 
@@ -1819,7 +1820,7 @@ def q_revenue_by_nation(sf_dir: str):
         ["l_orderkey"], {"rev_c": ["sum"]},
     )
     okeys = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    num_partitions = default_num_partitions()
     joined = per_order.join(
         okeys, join_type="inner", num_partitions=num_partitions,
         on=("l_orderkey",), right_on=("o_orderkey",),
@@ -3357,7 +3358,7 @@ def q_corpus_diff_docs(sf_dir: str):
         .map_batches(_new_side, batch_format="pandas", batch_size=2048)
     old_ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
         .map_batches(_old_side, batch_format="pandas", batch_size=2048)
-    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    num_partitions = default_num_partitions()
     joined = new_ds.join(old_ds, join_type="full_outer",
                          num_partitions=num_partitions, on=("doc_id",))
 
@@ -3694,7 +3695,7 @@ def q_mode_event_type(sf_dir: str):
     counts = grouped_agg_ds(ev, ["user_id", "event_type"], {},
                             count_alias="n")
     mx = grouped_agg_ds(counts, ["user_id"], {"n": ["max"]})
-    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    num_partitions = default_num_partitions()
     joined = counts.join(
         mx, join_type="inner", num_partitions=num_partitions,
         on=("user_id",), right_on=("user_id",),
@@ -3820,7 +3821,7 @@ def q_edit_pairs_docs(sf_dir: str):
     toks = token_bigram_sets(docs)
     edges = set_similarity_join(toks, num=1, den=2).map_batches(
         lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    num_partitions = default_num_partitions()
     da = docs.rename_columns(["a_id", "text_a"])
     j1 = edges.join(da, join_type="inner", num_partitions=num_partitions,
                     on=("a",), right_on=("a_id",))
@@ -3892,7 +3893,6 @@ def q_degree_histogram_docs(sf_dir: str):
     >= 1/2 edge set, then node counts per degree.  Two distributed
     grouped combines (node grain, then degree grain); the final
     histogram is degree-domain-sized, never corpus-sized."""
-    from hsearch_ray.stages.agg import grouped_agg
     from hsearch_ray.stages.agg import grouped_agg_ds
     from hsearch_ray.stages.setjoin import (
         set_similarity_join,
@@ -3975,7 +3975,7 @@ def q_top_building_orders(sf_dir: str):
                   columns=["o_orderkey", "o_custkey", "o_orderdate",
                            "o_orderpriority"]).map_batches(
         _ord, batch_format="pandas", batch_size=65536)
-    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    num_partitions = default_num_partitions()
     j1 = per_order.join(
         okeys, join_type="inner", num_partitions=num_partitions,
         on=("l_orderkey",), right_on=("o_orderkey",),

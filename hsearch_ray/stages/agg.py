@@ -160,3 +160,11 @@ def distinct_rows(ds, cols: list[str]) -> pd.DataFrame:
 
     pdf = ds.map_batches(partial, batch_format="pandas", batch_size=65536).to_pandas()
     return pdf.drop_duplicates().reset_index(drop=True)
+
+
+def default_num_partitions() -> int:
+    """Shuffle-partition count for Dataset.join / repartition barriers:
+    one per CPU, floor 8 (so tiny local sessions still spread skew)."""
+    import ray
+
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))

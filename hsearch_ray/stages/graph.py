@@ -29,7 +29,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from hsearch_ray.stages.agg import grouped_agg_ds
+from hsearch_ray.stages.agg import default_num_partitions, grouped_agg_ds
 from hsearch_ray.stages.lsh import _kv_lookup, build_kv_store
 
 I64 = np.int64
@@ -160,7 +160,7 @@ def triangle_count(edges_ds) -> int:
     cluster."""
     import ray
 
-    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    num_partitions = default_num_partitions()
     e2 = edges_ds.rename_columns(["w_mid", "w_hi"])
     wedges = edges_ds.join(
         e2, join_type="inner", num_partitions=num_partitions,

@@ -269,7 +269,7 @@ def _attach_by_join(corpus_ds, roots_ds):
     combine, LEFT-OUTER hash-join corpus file_ids against it, and fill
     unmatched rows with identity (cluster_id = file_id).  Same output
     contract as the broadcast path (property-tested equal)."""
-    from hsearch_ray.stages.agg import grouped_agg_ds
+    from hsearch_ray.stages.agg import default_num_partitions, grouped_agg_ds
 
     uniq = grouped_agg_ds(roots_ds, ["file_id"], {"cluster_id": ["min"]})
 
@@ -277,7 +277,7 @@ def _attach_by_join(corpus_ds, roots_ds):
         return pa.table({"file_id": batch["file_id"].cast(pa.int64())})
 
     left = corpus_ds.map_batches(_fid_only, batch_format="pyarrow")
-    num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    num_partitions = default_num_partitions()
     joined = left.join(uniq, join_type="left_outer",
                        num_partitions=num_partitions, on=("file_id",))
 
