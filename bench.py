@@ -248,6 +248,9 @@ def run_bench() -> dict:
         bench_q("user_running_value", Q.q_user_running_value)
         bench_q("approx_quantiles_events", Q.q_approx_quantiles_events)
         bench_q("bm25_search_docs", Q.q_bm25_search_docs)
+        bench_q("throttle_events", Q.q_throttle_events)
+        bench_q("mode_event_type", Q.q_mode_event_type)
+        bench_q("cube_lineitem", Q.q_cube_lineitem)
 
     result = {
         "metric": "dedup_pipeline_sec",

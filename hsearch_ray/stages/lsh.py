@@ -519,9 +519,14 @@ def build_kv_store(ds, key_col: str, val_col: str,
     bounds from one narrow (min, max) pass; S remote builders over the
     block refs.  Returns (bounds, shard_refs) — bounds[1:-1] are the
     interior cut points for searchsorted routing."""
-    if num_shards is None:
-        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
     ds = ds.materialize()
+    if num_shards is None:
+        # scale with row count (16 B/row) so one shard stays ~64 MB no
+        # matter how large the map grows; the CPU term only spreads
+        # small maps for build parallelism (same discipline as the
+        # shingle store's candidate-count scaling, verify.build_store)
+        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2,
+                         -(-ds.count() // 4_000_000))
 
     def _mm(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -437,7 +437,15 @@ def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig,
     import ray as _ray
 
     if num_shards is None:
-        num_shards = max(4, int(_ray.cluster_resources().get("CPU", 8)))
+        # scale with the CANDIDATE COUNT, not just cluster width: a
+        # fixed per-CPU count makes per-shard memory O(corpus), and at
+        # 61M files the shard builders are what the kernel OOM-kills
+        # (measured: 16 `_build_shard` kills on a 125 GiB node).  The
+        # ids-per-shard ceiling bounds one shard's packed arrays to a
+        # few hundred MB regardless of corpus size; Ray's scheduler
+        # already bounds CONCURRENT builders to the CPU count.
+        num_shards = max(4, int(_ray.cluster_resources().get("CPU", 8)),
+                         -(-ids.size // 262_144))
     corpus_ds = corpus_ds.materialize()  # no-op when already materialized
     block_refs = [ref for ref in corpus_ds.to_arrow_refs()]
     ids_sorted = np.sort(ids)

@@ -396,3 +396,36 @@ def test_verifier_shard_lru_bounded(ray_session):
                                         verify_shard_cache=0), store_ref)
     assert out.equals(unbounded(pairs))
     assert len(unbounded._shards) == 8
+
+
+def test_store_shard_count_scales_and_layouts_agree(ray_session):
+    """The default shard count must grow with the CANDIDATE COUNT (a
+    fixed per-CPU count makes one shard O(corpus) — the 61M-file OOM),
+    and verified pairs must be identical across shard layouts."""
+    import ray
+    import ray.data
+
+    from hsearch_ray.stages.normalize import normalize
+    from hsearch_ray.stages.verify import Verifier, build_store
+
+    cfg = PipelineConfig()
+    rng = np.random.Generator(np.random.PCG64(9))
+    rows = [("r", f"p{i}.py", f"doc {i} " + " ".join(
+        str(rng.integers(0, 9999)) for _ in range(30))) for i in range(48)]
+    corpus = normalize(ray.data.from_arrow(_corpus(rows))).materialize()
+    ids = np.sort(corpus.to_pandas()["file_id"].to_numpy(dtype=np.int64))
+    pairs = pa.table({"a": pa.array(ids[:-1], pa.int64()),
+                      "b": pa.array(ids[1:], pa.int64())})
+
+    base = Verifier(cfg, build_store(corpus, ids, cfg, num_shards=1))(pairs)
+    many = Verifier(cfg, build_store(corpus, ids, cfg, num_shards=17))(pairs)
+    assert base.equals(many)
+
+    # the default derivation adds a ceiling shard per 262,144 candidate
+    # ids on top of the CPU floor (checked arithmetically — a real
+    # multi-million-id store is out of test budget)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    for n_ids, floor in ((1_000, max(4, cpus)),
+                         (10_000_000, max(4, cpus, 39)),
+                         (30_000_000, max(4, cpus, 115))):
+        assert max(4, cpus, -(-n_ids // 262_144)) == floor
