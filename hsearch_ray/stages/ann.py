@@ -164,11 +164,15 @@ def build_vec_store(emb_ds, id_col: str = "vec_id", num_shards: int | None = Non
     Returns (bounds, shard_refs, materialized_ds):
       bounds[i] = inclusive lower id of shard i (len = num_shards + 1,
       last = max + 1)."""
+    emb_ds = emb_ds.materialize()
     if num_shards is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        # block-pair grid wants S(S+1)/2 >= cpus work units
-        num_shards = max(2, int(np.ceil(np.sqrt(2 * cpus))))
-    emb_ds = emb_ds.materialize()
+        # block-pair grid wants S(S+1)/2 >= cpus work units; the
+        # row-count ceiling (one shard per 2M vectors ≈ 1 GB at 64
+        # float64 dims) bounds per-shard memory at any corpus size —
+        # the same payload-size discipline as verify.build_store
+        num_shards = max(2, int(np.ceil(np.sqrt(2 * cpus))),
+                         -(-emb_ds.count() // 2_000_000))
 
     def _mm(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
