@@ -187,9 +187,13 @@ def build_set_store(tok_ds, num_shards: int | None = None):
     """Id-range-sharded store of per-doc sorted token sets.  Returns a
     ref to (interior bounds, shard refs) — the build_kv_store routing
     contract."""
-    if num_shards is None:
-        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2)
     tok_ds = tok_ds.materialize()
+    if num_shards is None:
+        # payload-size ceiling (verify.build_store discipline): one
+        # shard per 256k docs bounds a shard's packed token arrays at
+        # any corpus size; the CPU term only spreads small stores
+        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2,
+                         -(-tok_ds.count() // 262_144))
 
     def _mm(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
