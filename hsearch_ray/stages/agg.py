@@ -168,3 +168,21 @@ def default_num_partitions() -> int:
     import ray
 
     return max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+
+def default_num_shards(n_rows: int, rows_per_shard: int,
+                       cpu_floor: int | None = None, floor: int = 4) -> int:
+    """Shard count for the id-range-sharded stores — the ONE place the
+    payload-size discipline lives (the 61M-file OOM fix): the
+    ``rows_per_shard`` ceiling bounds a shard's packed arrays at any
+    corpus size, while ``cpu_floor`` (default: cluster CPU count) only
+    spreads SMALL stores for build parallelism.  Callers: the shingle
+    store (verify.build_store, 262k candidates/shard), the kv store
+    (lsh.build_kv_store, 4M 16-byte rows/shard), the vector store
+    (ann.build_vec_store, 2M vectors/shard) and the token-set store
+    (setjoin.build_set_store, 262k docs/shard)."""
+    import ray
+
+    if cpu_floor is None:
+        cpu_floor = int(ray.cluster_resources().get("CPU", 8))
+    return max(floor, cpu_floor, -(-int(n_rows) // int(rows_per_shard)))

@@ -171,8 +171,11 @@ def build_vec_store(emb_ds, id_col: str = "vec_id", num_shards: int | None = Non
         # row-count ceiling (one shard per 2M vectors ≈ 1 GB at 64
         # float64 dims) bounds per-shard memory at any corpus size —
         # the same payload-size discipline as verify.build_store
-        num_shards = max(2, int(np.ceil(np.sqrt(2 * cpus))),
-                         -(-emb_ds.count() // 2_000_000))
+        from hsearch_ray.stages.agg import default_num_shards
+
+        num_shards = default_num_shards(
+            emb_ds.count(), 2_000_000,
+            cpu_floor=int(np.ceil(np.sqrt(2 * cpus))), floor=2)
 
     def _mm(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

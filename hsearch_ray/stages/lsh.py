@@ -525,8 +525,11 @@ def build_kv_store(ds, key_col: str, val_col: str,
         # matter how large the map grows; the CPU term only spreads
         # small maps for build parallelism (same discipline as the
         # shingle store's candidate-count scaling, verify.build_store)
-        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2,
-                         -(-ds.count() // 4_000_000))
+        from hsearch_ray.stages.agg import default_num_shards
+
+        num_shards = default_num_shards(
+            ds.count(), 4_000_000,
+            cpu_floor=int(ray.cluster_resources().get("CPU", 8)) // 2)
 
     def _mm(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -192,8 +192,11 @@ def build_set_store(tok_ds, num_shards: int | None = None):
         # payload-size ceiling (verify.build_store discipline): one
         # shard per 256k docs bounds a shard's packed token arrays at
         # any corpus size; the CPU term only spreads small stores
-        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)) // 2,
-                         -(-tok_ds.count() // 262_144))
+        from hsearch_ray.stages.agg import default_num_shards
+
+        num_shards = default_num_shards(
+            tok_ds.count(), 262_144,
+            cpu_floor=int(ray.cluster_resources().get("CPU", 8)) // 2)
 
     def _mm(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

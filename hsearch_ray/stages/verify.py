@@ -444,8 +444,9 @@ def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig,
         # ids-per-shard ceiling bounds one shard's packed arrays to a
         # few hundred MB regardless of corpus size; Ray's scheduler
         # already bounds CONCURRENT builders to the CPU count.
-        num_shards = max(4, int(_ray.cluster_resources().get("CPU", 8)),
-                         -(-ids.size // 262_144))
+        from hsearch_ray.stages.agg import default_num_shards
+
+        num_shards = default_num_shards(ids.size, 262_144)
     corpus_ds = corpus_ds.materialize()  # no-op when already materialized
     block_refs = [ref for ref in corpus_ds.to_arrow_refs()]
     ids_sorted = np.sort(ids)
@@ -498,45 +499,129 @@ def token_bag_similarity(a: bytes, b: bytes) -> float:
     return 2.0 * inter / (na + nb)
 
 
+_EDIT_TOKS_SCHEMA = pa.schema(
+    [("file_id", pa.int64()), ("toks", pa.list_(pa.int64()))]
+)
+
+
+def build_edit_token_store(corpus_ds, ids: np.ndarray, canon: bool):
+    """Id-range-sharded store of per-doc SORTED token-hash MULTISETS
+    (the ``setjoin.build_set_store`` layout, duplicates kept) over the
+    candidate files only: each doc is normalized and tokenized exactly
+    ONCE at store build, then the scorer fetches ≤ 2 shards lazily per
+    batch — the whole-corpus driver dict this replaces was the last
+    driver-bound attach in the engine.  Token hashes are 64-bit
+    (polars binary hash, seed 42); a collision perturbs the Dice score
+    by ~1/n_tokens with probability ~n²/2⁶⁴ — immaterial next to the
+    0.05-wide admission band."""
+    from hsearch_ray.stages.setjoin import build_set_store
+
+    ids_ref = ray.put(np.sort(ids))
+
+    def _toks(batch: pa.Table) -> pa.Table:
+        import polars as pl
+
+        from hsearch_ray import hashing as _H
+
+        fid = batch["file_id"].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(_in_sorted(ray.get(ids_ref), fid)))
+        if sub.num_rows == 0:
+            return _EDIT_TOKS_SCHEMA.empty_table()
+        global _TOKEN_RE
+        if _TOKEN_RE is None:
+            import re
+
+            _TOKEN_RE = re.compile(rb"\w+|[^\w\s]")
+        sids = sub["file_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        per_doc = [
+            _TOKEN_RE.findall(_H.normalize_for_shingles(c, canon))
+            for c in sub["content"].cast(pa.large_binary()).to_pylist()
+        ]
+        lens = np.array([len(t) for t in per_doc], dtype=np.int64)
+        flat = [t for doc in per_doc for t in doc]
+        if flat:
+            h = pl.Series(flat, dtype=pl.Binary).hash(seed=42) \
+                .to_numpy().view(np.int64)
+        else:
+            h = np.empty(0, np.int64)
+        docrep = np.repeat(np.arange(sids.size, dtype=np.int64), lens)
+        order = np.lexsort((h, docrep))  # per-doc sorted, multiplicity kept
+        offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])
+        return pa.table({
+            "file_id": pa.array(sids, pa.int64()),
+            "toks": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int64()), pa.array(h[order], pa.int64())
+            ),
+        })
+
+    tok_ds = corpus_ds.map_batches(_toks, batch_format="pyarrow")
+    return build_set_store(tok_ds)
+
+
+def _multiset_dice(sa: np.ndarray, sb: np.ndarray) -> float:
+    """2·|A ∩ B| / (|A| + |B|) over two per-doc SORTED hash multisets
+    (the token_bag_similarity value, computed on pre-hashed tokens)."""
+    if sa.size + sb.size == 0:
+        return 1.0
+    ua, ca = np.unique(sa, return_counts=True)
+    ub, cb = np.unique(sb, return_counts=True)
+    _, ia, ib = np.intersect1d(ua, ub, assume_unique=True,
+                               return_indices=True)
+    inter = int(np.minimum(ca[ia], cb[ib]).sum())
+    return 2.0 * inter / (sa.size + sb.size)
+
+
 def edit_verify_pairs(borderline_ds, corpus_ds, cfg: PipelineConfig):
     """Second-tier check for pairs whose exact Jaccard landed in
-    [thr - edit_band, thr): fetch ONLY those files' contents (broadcast —
-    borderline pairs are a narrow band by construction), score with
-    token_bag_similarity, admit >= edit_sim_threshold as method="edit"
-    (the score is reported in the ``jaccard`` column)."""
+    [thr - edit_band, thr): score with the token-multiset Dice
+    (token_bag_similarity's value), admit >= edit_sim_threshold as
+    method="edit" (the score is reported in the ``jaccard`` column).
+
+    Scale shape: candidate contents live in an id-range-SHARDED
+    token-multiset store (build_edit_token_store); the scorer memoizes
+    each doc's (unique, counts) per batch, so a doc in p pairs is
+    tokenized once per corpus and unpacked once per batch — no driver
+    dict, no per-pair re-normalization."""
+    from hsearch_ray.stages.setjoin import _set_lookup
+
     ids = candidate_ids(borderline_ds)
     if ids.size == 0:
         return ray.data.from_arrow(VERIFIED_SCHEMA.empty_table())
-    ids_ref = ray.put(np.sort(ids))
-    canon = cfg.token_canonicalize
-
-    def _grab(batch: pa.Table) -> pa.Table:
-        fid = batch["file_id"].to_numpy(zero_copy_only=False)
-        sub = batch.filter(pa.array(_in_sorted(ray.get(ids_ref), fid)))
-        return pa.table({"file_id": sub["file_id"].cast(pa.int64()),
-                         "content": sub["content"].cast(pa.large_binary())})
-
-    cont = corpus_ds.map_batches(_grab, batch_format="pyarrow").to_pandas()
-    cmap = {int(f): bytes(c) for f, c in zip(cont["file_id"], cont["content"])}
-    cmap_ref = ray.put(cmap)
+    store_ref = build_edit_token_store(
+        corpus_ds, ids, cfg.token_canonicalize)
     thr = cfg.edit_sim_threshold
 
     def _score(batch: pa.Table) -> pa.Table:
-        cm = ray.get(cmap_ref)
-        oa, ob, os_ = [], [], []
-        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            ca, cb = cm.get(int(a)), cm.get(int(b))
-            if ca is None or cb is None:
-                continue
-            from hsearch_ray import hashing as _H
+        lk = _set_lookup(store_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        sha, posa = lk.slices(a)
+        shb, posb = lk.slices(b)
+        memo: dict = {}
 
-            s = token_bag_similarity(
-                _H.normalize_for_shingles(ca, canon),
-                _H.normalize_for_shingles(cb, canon),
-            )
+        def bag(fid: int, sh: int, pos: int):
+            t = memo.get(fid)
+            if t is None:
+                sl = lk.get(sh, pos)
+                u, c = np.unique(sl, return_counts=True)
+                t = memo[fid] = (u, c, sl.size)
+            return t
+
+        oa, ob, os_ = [], [], []
+        for i in range(a.size):
+            if posa[i] < 0 or posb[i] < 0:
+                continue
+            ua, ca, na = bag(int(a[i]), int(sha[i]), int(posa[i]))
+            ub, cb, nb = bag(int(b[i]), int(shb[i]), int(posb[i]))
+            if na + nb == 0:
+                s = 1.0
+            else:
+                _, ia, ib = np.intersect1d(
+                    ua, ub, assume_unique=True, return_indices=True)
+                s = 2.0 * int(np.minimum(ca[ia], cb[ib]).sum()) / (na + nb)
             if s >= thr:
-                oa.append(int(a))
-                ob.append(int(b))
+                oa.append(int(a[i]))
+                ob.append(int(b[i]))
                 os_.append(round(s, 6))
         return pa.table(
             {

@@ -422,10 +422,25 @@ def test_store_shard_count_scales_and_layouts_agree(ray_session):
     assert base.equals(many)
 
     # the default derivation adds a ceiling shard per 262,144 candidate
-    # ids on top of the CPU floor (checked arithmetically — a real
-    # multi-million-id store is out of test budget)
+    # ids on top of the CPU floor — asserted against the PRODUCTION
+    # helper (agg.default_num_shards), so a regression to the constant
+    # or expression is caught; each store's parameterization is checked
+    # (a real multi-million-id store is out of test budget)
+    from hsearch_ray.stages.agg import default_num_shards
+
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    for n_ids, floor in ((1_000, max(4, cpus)),
-                         (10_000_000, max(4, cpus, 39)),
-                         (30_000_000, max(4, cpus, 115))):
-        assert max(4, cpus, -(-n_ids // 262_144)) == floor
+    # shingle store (verify.build_store): 262k ids/shard, cpu floor
+    for n_ids, want in ((1_000, max(4, cpus)),
+                        (10_000_000, max(4, cpus, 39)),
+                        (30_000_000, max(4, cpus, 115))):
+        assert default_num_shards(n_ids, 262_144) == want
+    # kv store (lsh.build_kv_store): 4M rows/shard, cpus//2 floor
+    assert default_num_shards(100_000_000, 4_000_000,
+                              cpu_floor=cpus // 2) == max(4, cpus // 2, 25)
+    # vector store (ann.build_vec_store): 2M vecs/shard, sqrt grid floor
+    grid = int(np.ceil(np.sqrt(2 * cpus)))
+    assert default_num_shards(50_000_000, 2_000_000,
+                              cpu_floor=grid, floor=2) == max(2, grid, 25)
+    # token-set store (setjoin.build_set_store): 262k docs/shard
+    assert default_num_shards(1_048_576, 262_144,
+                              cpu_floor=cpus // 2) == max(4, cpus // 2, 4)

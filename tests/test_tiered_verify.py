@@ -141,3 +141,62 @@ def test_edit_tier_admits_reordered_functions(ray_session):
     rows = {(int(r["a"]), int(r["b"])): r for r in res_on.pairs.take_all()}
     assert rows[(a, b)]["method"] == "edit"
     assert rows[(a, b)]["jaccard"] >= on.edit_sim_threshold
+
+def test_edit_tier_sharded_store_matches_bag_similarity(ray_session, monkeypatch):
+    """The sharded edit tier scores every borderline pair exactly as the
+    per-pair token_bag_similarity reference (hash collisions aside), and
+    it builds its content through the id-range-sharded token store — the
+    corpus is never collected into a driver-side dict."""
+    import ray.data
+
+    from hsearch_ray.stages import verify as V
+    from hsearch_ray.stages.normalize import normalize
+
+    rng = np.random.Generator(np.random.PCG64(77))
+    rows = []
+    for i in range(12):
+        body = " ".join(str(rng.integers(0, 999)) for _ in range(40))
+        rows.append(("r", f"d{i}.py", f"def f{i}():\n    return {body}\n"))
+    # a shuffled-token clone of d0: bag-similar, shingle-dissimilar
+    toks = rows[0][2].split()
+    rng.shuffle(toks)
+    rows.append(("r", "shuf.py", " ".join(toks)))
+    corpus = normalize(ray.data.from_arrow(_mk_corpus(rows))).materialize()
+    ids = corpus.to_pandas()[["file_id"]]["file_id"].to_numpy(np.int64)
+    ids.sort()
+
+    # all adjacent-id pairs as the "borderline band"
+    import pyarrow as _pa
+    pairs = ray.data.from_arrow(_pa.table({
+        "a": _pa.array(ids[:-1], _pa.int64()),
+        "b": _pa.array(ids[1:], _pa.int64()),
+    }))
+
+    calls = {"n": 0}
+    real_build = V.build_edit_token_store
+
+    def counting_build(corpus_ds, cand, canon):
+        calls["n"] += 1
+        return real_build(corpus_ds, cand, canon)
+
+    monkeypatch.setattr(V, "build_edit_token_store", counting_build)
+
+    cfg = PipelineConfig(edit_verify=True, edit_sim_threshold=0.0)
+    out = V.edit_verify_pairs(pairs, corpus, cfg).to_pandas()
+    assert calls["n"] == 1  # content attach goes through the sharded store
+
+    cmap = {
+        int(r["file_id"]):
+            r["content"] if isinstance(r["content"], bytes)
+            else str(r["content"]).encode()
+        for r in corpus.to_pandas().to_dict("records")
+    }
+    got = {(int(r.a), int(r.b)): float(r.jaccard)
+           for r in out.itertuples(index=False)}
+    assert len(got) == ids.size - 1
+    for x, y in zip(ids[:-1], ids[1:]):
+        want = V.token_bag_similarity(
+            H.normalize_for_shingles(cmap[int(x)]),
+            H.normalize_for_shingles(cmap[int(y)]),
+        )
+        assert abs(got[(int(x), int(y))] - want) < 1e-6, (x, y)
