@@ -26,9 +26,17 @@ Design (the production shape, scaled down honestly):
   session scan); only the per-user state handoff (first/last session
   of each user's run in the batch) touches a Python dict — O(distinct
   users in the batch), the irreducible cost of keyed state.
-- The driver loop here stands in for the ingest source (a stream
-  arrives at receivers by definition); what is real at scale is the
-  sharding, the state handoff, and the watermark close.
+- Ingest is WORKER-SIDE: each event-time-ordered block is routed to
+  the shard actors by a remote task (`_route_block`), so ingest
+  bandwidth scales with the task pool, not one driver process.  Because
+  concurrently-running route tasks may deliver blocks to an actor out
+  of order, every delivery carries the block's SEQUENCE NUMBER and
+  every shard sees every sequence exactly once (empty sub-batches
+  included); the actor buffers ahead-of-order arrivals and folds
+  strictly in sequence — the standard exchange discipline of a
+  streaming shuffle.  The driver only sequences submissions (a bounded
+  window of outstanding blocks = the watermark + backpressure) and
+  collects the emitted closed-session tables.
 """
 
 from __future__ import annotations
@@ -71,6 +79,8 @@ class SessionShard:
     def __init__(self, gap_us: int):
         self.gap_us = int(gap_us)
         self.open: dict[int, list[int]] = {}
+        self.next_seq = 0
+        self.ahead: dict[int, pa.Table] = {}
 
     def _emit(self, rows: list[tuple]) -> pa.Table:
         if not rows:
@@ -123,7 +133,22 @@ class SessionShard:
                 closed.append((u, st[0], st[1], st[2]))
         return self._emit(closed)
 
+    def process_seq(self, seq: int, batch: pa.Table) -> pa.Table:
+        """Deliver one (possibly empty) sub-batch tagged with its block
+        sequence number.  Ahead-of-order deliveries are buffered; folding
+        happens strictly in sequence, so concurrent route tasks cannot
+        violate the event-time-ordered ingest contract."""
+        self.ahead[int(seq)] = batch
+        outs = []
+        while self.next_seq in self.ahead:
+            t = self.process(self.ahead.pop(self.next_seq))
+            if t.num_rows:
+                outs.append(t)
+            self.next_seq += 1
+        return pa.concat_tables(outs) if outs else self._emit([])
+
     def flush(self) -> pa.Table:
+        assert not self.ahead, "flush before all sequences folded"
         rows = [(u, st[0], st[1], st[2]) for u, st in self.open.items()]
         self.open.clear()
         return self._emit(rows)
@@ -140,36 +165,69 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+@ray.remote
+def _route_block(seq: int, tbl: pa.Table, n_shards: int, *shards):
+    """Route one event-time-ordered block to every state shard, tagged
+    with the block's sequence number (empty sub-batches included so each
+    shard sees every sequence exactly once).  Runs on a WORKER — the
+    driver never touches event rows.  Returns the shards' process_seq
+    ObjectRefs un-awaited, so the routing task itself is instant and the
+    driver's submission window is what bounds in-flight state."""
+    if tbl.num_rows:
+        route = (_splitmix64(tbl["user_id"].to_numpy(zero_copy_only=False))
+                 % np.uint64(n_shards)).astype(np.int64)
+    else:
+        route = np.empty(0, I64)
+    refs = []
+    for s in range(n_shards):
+        sel = np.nonzero(route == s)[0]
+        sub = tbl.take(sel) if sel.size else tbl.slice(0, 0)
+        refs.append(shards[s].process_seq.remote(seq, sub))
+    return refs
+
+
 def stream_sessionize(events_ds, gap_sec: int = 3600, n_shards: int = 4,
                       micro_batch_rows: int = 4096) -> pd.DataFrame:
     """Run the event stream through sharded stateful session actors in
     event-time order and return ALL sessions (closed + final flush) —
     semantically identical to events.sessionize.  Output columns match
     the batch query: (user_id, session_start_us, n_events,
-    sum_value_c)."""
+    sum_value_c).
+
+    Ingest shape: the sorted stream is split into event-time-ordered
+    blocks of ~micro_batch_rows (order-preserving repartition); each
+    block is routed to the shard actors BY A REMOTE TASK, and the
+    driver only walks the sequence with a bounded window (backpressure
+    + bounded ahead-of-order buffering in the actors), collecting the
+    closed-session tables as they emit."""
     from hsearch_ray.stages.events import _prep_events
 
     gap_us = int(gap_sec) * 1_000_000
     prepped = (
         events_ds.map_batches(_prep_events, batch_format="pyarrow")
         .sort(["ts_us", "event_id"])
+        .materialize()
     )
+    n = prepped.count()
+    if n == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in _OUT_COLS})
+    n_blocks = max(1, -(-n // int(micro_batch_rows)))
+    # order-preserving split (no shuffle): block k+1's min ts >= block
+    # k's max ts, the ordered-ingest contract the watermark close needs
+    blocks = prepped.repartition(n_blocks).to_arrow_refs()
+
     shards = [SessionShard.remote(gap_us) for _ in range(n_shards)]
-    pending, outs = [], []
-    for mb in prepped.iter_batches(batch_size=micro_batch_rows,
-                                   batch_format="pyarrow"):
-        route = (_splitmix64(
-            mb["user_id"].to_numpy(zero_copy_only=False))
-            % np.uint64(n_shards)).astype(np.int64)
-        for s in range(n_shards):
-            sel = np.nonzero(route == s)[0]
-            if sel.size:
-                pending.append(shards[s].process.remote(mb.take(sel)))
-        # sliding-window throttle: cap in-flight actor calls
-        while len(pending) > 2 * n_shards:
-            done, pending = ray.wait(pending, num_returns=1)
-            outs.extend(ray.get(done))
-    outs.extend(ray.get(pending))
+    outs: list[pa.Table] = []
+    window: list = []  # outstanding blocks' process_seq ref lists
+    for seq, blk in enumerate(blocks):
+        window.append(_route_block.remote(seq, blk, n_shards, *shards))
+        if len(window) > 2 * n_shards:
+            # wait for the OLDEST outstanding block to be fully folded
+            # before submitting further: bounds every actor's
+            # ahead-buffer at 2*n_shards blocks and applies backpressure
+            outs.extend(ray.get(ray.get(window.pop(0))))
+    for ref in window:
+        outs.extend(ray.get(ray.get(ref)))
     outs.extend(ray.get([s.flush.remote() for s in shards]))
     frames = [t.to_pandas() for t in outs if t.num_rows]
     if not frames:
