@@ -3791,6 +3791,15 @@ def q_mad_value_by_type(sf_dir: str):
 
 
 _EDIT_MAX = 8
+# Completeness floor for the prefix-filter arm of the edit join: one
+# byte edit changes at most 3 distinct word bigrams per side (a
+# whitespace insert splits a token: removes 2, adds 3; a delete merges
+# two: removes 3, adds 2; an in-token change swaps 2 for 2), so k edits
+# give |A Δ B| <= 3k per side and J(A,B) >= (|A|-3k)/(|A|+3k).  That is
+# >= 1/2 exactly when the unique-bigram count |A| >= 9k — docs BELOW
+# the floor (including whitespace-edit and short-doc adversaries) can
+# drop below the candidate threshold and MUST take the brute arm.
+_EDIT_MIN_BIGRAMS = 9 * _EDIT_MAX
 
 
 def _lev_banded(sa: bytes, sb: bytes, k: int) -> int:
@@ -3825,24 +3834,109 @@ def _lev_banded(sa: bytes, sb: bytes, k: int) -> int:
 def q_edit_pairs_docs(sf_dir: str):
     """Bounded edit-distance self-join (the reference's alignment
     identity% analog at character grain): all doc pairs whose byte-level
-    Levenshtein distance is <= 8, with the exact distance.  Candidates
-    are the EXACT bigram-set Jaccard >= 1/2 pairs (prefix-filter
-    theorem, recall 1 for this corpus's edit band: 8 byte edits can
-    never drop bigram Jaccard of these doc lengths under 1/2 — a k-edit
-    pair shares all but O(k) word bigrams), texts attach via two hash-
-    shuffle joins against the documents table, and the banded DP runs
-    per pair inside map_batches — a Python loop over PAIRS (the O(dups)
-    set, same scale argument as the driver CC), each pair's DP fully
-    row-vectorized."""
+    Levenshtein distance is <= 8, with the exact distance — COMPLETE,
+    with the completeness split proved, not assumed:
+
+    - Prefix-filter arm: bigram-set Jaccard >= 1/2 candidates
+      (set_similarity_join), restricted to pairs where BOTH docs have
+      >= _EDIT_MIN_BIGRAMS (= 9*k) unique bigrams.  Above that floor
+      the candidate filter has recall exactly 1: one byte edit moves at
+      most 3 distinct bigrams per side, so k edits keep
+      J >= (|A|-3k)/(|A|+3k) >= 1/2 (see _EDIT_MIN_BIGRAMS).
+    - Brute arm: every pair with at least one DEGENERATE side
+      (< 9*k unique bigrams: short docs, whitespace-edit adversaries,
+      highly repetitive docs) within the byte-length band |bl_a - bl_b|
+      <= k (necessary for edit <= k).  The degenerate side is broadcast
+      (ray.put) and probed per batch — the J2 broadcast-join pattern;
+      at 100-TB scale an adversarially all-degenerate corpus would need
+      the length-bucketed exchange instead (documented bound: the arm
+      is O(|degenerate| x banded matches)).
+
+    The arms are disjoint by construction (both-above-floor vs
+    any-below-floor) and each emits every pair exactly once, so no
+    global dedup barrier is needed.  Texts attach via two hash-shuffle
+    joins; the banded DP runs per pair inside map_batches, each pair's
+    DP fully row-vectorized."""
     from hsearch_ray.stages.setjoin import (
+        _bigram_hashes,
         set_similarity_join,
         token_bigram_sets,
     )
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # (doc_id, n unique bigrams, byte length) — one narrow pass
+    def _meta(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        df = batch.to_pandas()
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        bl = pc.binary_length(
+            batch["text"].cast(pa.large_binary())).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bg, nbg = _bigram_hashes(df["text"])
+        docrep = np.repeat(np.arange(ids.size, dtype=np.int64), nbg)
+        order = np.lexsort((bg, docrep))
+        d, v = docrep[order], bg[order]
+        first = np.ones(d.size, dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+        n = np.bincount(d[first], minlength=ids.size).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n": pa.array(n, pa.int64()),
+                         "bl": pa.array(bl, pa.int64())})
+
+    meta = docs.map_batches(_meta, batch_format="pyarrow").materialize()
+    degen = meta.filter(expr=f"n < {_EDIT_MIN_BIGRAMS}") \
+        .select_columns(["doc_id", "bl"]).to_pandas()
+    by_bl = degen.sort_values(["bl", "doc_id"])
+    degen_bl_ref = ray.put(by_bl["bl"].to_numpy(np.int64))
+    degen_id_by_bl_ref = ray.put(by_bl["doc_id"].to_numpy(np.int64))
+    degen_ids_ref = ray.put(np.sort(degen["doc_id"].to_numpy(np.int64)))
+
+    # brute arm: probe every doc against the broadcast degenerate side
+    def _arm2(batch: pa.Table) -> pa.Table:
+        dbl = ray.get(degen_bl_ref)
+        did = ray.get(degen_id_by_bl_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        bl = batch["bl"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(dbl, bl - _EDIT_MAX, side="left")
+        hi = np.searchsorted(dbl, bl + _EDIT_MAX, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return pa.schema([("a", pa.int64()),
+                              ("b", pa.int64())]).empty_table()
+        cum0 = np.concatenate([np.zeros(1, np.int64), np.cumsum(cnt)])
+        row = np.repeat(np.arange(ids.size, dtype=np.int64), cnt)
+        within = np.arange(total, dtype=np.int64) - cum0[row]
+        x = did[lo[row] + within]
+        y = ids[row]
+        y_degen = n[row] < _EDIT_MIN_BIGRAMS
+        # exactly-once emission: vs a non-degenerate y emit every match;
+        # a both-degenerate pair emits only when y is the larger id
+        keep = np.where(y_degen, x < y, x != y)
+        x, y = x[keep], y[keep]
+        return pa.table({"a": pa.array(np.minimum(x, y), pa.int64()),
+                         "b": pa.array(np.maximum(x, y), pa.int64())})
+
+    arm2 = meta.map_batches(_arm2, batch_format="pyarrow")
+
+    # prefix-filter arm, restricted to both-above-floor pairs
     toks = token_bigram_sets(docs)
-    edges = set_similarity_join(toks, num=1, den=2).map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+
+    def _both_big(batch: pa.Table) -> pa.Table:
+        from hsearch_ray.stages.verify import _in_sorted
+
+        dg = ray.get(degen_ids_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        keep = ~_in_sorted(dg, a) & ~_in_sorted(dg, b)
+        return batch.select(["a", "b"]).filter(pa.array(keep))
+
+    arm1 = set_similarity_join(toks, num=1, den=2).map_batches(
+        _both_big, batch_format="pyarrow")
+    edges = arm1.union(arm2)
     num_partitions = default_num_partitions()
     da = docs.rename_columns(["a_id", "text_a"])
     j1 = edges.join(da, join_type="inner", num_partitions=num_partitions,
@@ -5274,15 +5368,52 @@ ORACLE_SQL["mad_value_by_type"] = """
 """
 
 # DuckDB levenshtein() is byte-level over the UTF-8 encoding — the
-# engine's _lev_banded kernel matches that convention exactly
+# engine's _lev_banded kernel matches that convention exactly.  The
+# candidate structure mirrors the engine's PROVEN-complete split (see
+# q_edit_pairs_docs / _EDIT_MIN_BIGRAMS): prefix-filter arm for pairs
+# where both docs clear the 9k unique-bigram floor, byte-length-banded
+# brute arm for any pair with a degenerate side — together they cover
+# every pair with levenshtein <= k, so this equals the true relation.
 ORACLE_SQL["edit_pairs_docs"] = f"""
-    WITH e AS (SELECT a, b FROM ({_SET_JOIN_SQL}))
-    SELECT e.a, e.b,
+    WITH ll AS (
+      SELECT doc_id, regexp_extract_all(text, '\\S+') AS l FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT doc_id, l[i] || ' ' || l[i + 1] AS tok
+      FROM ll, unnest(generate_series(1, len(l) - 1)) AS t(i)
+    ),
+    sz AS (SELECT doc_id, count(*) AS s FROM toks GROUP BY doc_id),
+    meta AS (
+      SELECT d.doc_id, coalesce(sz.s, 0) AS s,
+             octet_length(encode(d.text)) AS bl
+      FROM documents d LEFT JOIN sz ON sz.doc_id = d.doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    arm1 AS (
+      SELECT i.a, i.b FROM inter i
+      JOIN meta ma ON ma.doc_id = i.a
+      JOIN meta mb ON mb.doc_id = i.b
+      WHERE 2 * i.c >= (ma.s + mb.s - i.c)
+        AND ma.s >= {_EDIT_MIN_BIGRAMS} AND mb.s >= {_EDIT_MIN_BIGRAMS}
+    ),
+    arm2 AS (
+      SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
+                      greatest(x.doc_id, y.doc_id) AS b
+      FROM meta x JOIN meta y
+        ON x.doc_id <> y.doc_id AND abs(x.bl - y.bl) <= {_EDIT_MAX}
+      WHERE x.s < {_EDIT_MIN_BIGRAMS}
+    ),
+    cand AS (SELECT a, b FROM arm1 UNION SELECT a, b FROM arm2)
+    SELECT c.a, c.b,
            CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
-    FROM e
-    JOIN documents da ON da.doc_id = e.a
-    JOIN documents db ON db.doc_id = e.b
-    WHERE levenshtein(da.text, db.text) <= 8
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.a
+    JOIN documents db ON db.doc_id = c.b
+    WHERE levenshtein(da.text, db.text) <= {_EDIT_MAX}
 """
 
 ORACLE_SQL["cube_lineitem"] = """

@@ -1187,3 +1187,54 @@ def test_grouped_hll_accuracy_and_determinism(ray_session):
     assert sorted(got.index) == sorted(exact.index)
     for et in exact.index:
         assert abs(int(got[et]) - int(exact[et])) <= max(1, 0.05 * exact[et]), et
+
+
+def test_edit_pairs_complete_on_short_doc_adversaries(ray_session, tmp_path):
+    """Pairs within 8 byte edits whose docs sit BELOW the 9k
+    unique-bigram floor can drop bigram Jaccard under 1/2 (short docs;
+    whitespace edits that split tokens) — the prefix-filter arm alone
+    would silently miss them.  The brute length-band arm must recover
+    every one: the query's output equals the full O(n^2) banded-DP
+    relation on an adversarial corpus."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from hsearch_ray.pipelines import queries as Q
+
+    # adversary 1: short docs, two substitutions -> bigram jaccard 0
+    s1a, s1b = "a b c d e", "a q c r e"
+    # adversary 2: one whitespace insert splits a token in a short doc
+    s2a, s2b = "alpha beta gamma", "al pha beta gamma"
+    # a normal long near-pair that must keep flowing through arm 1
+    base = " ".join(f"tok{i}" for i in range(200))
+    long_b = base.replace("tok7 ", "tokX ", 1)
+    fillers = [" ".join(f"w{i}_{j}" for j in range(150)) for i in range(6)]
+    texts = [s1a, s1b, s2a, s2b, base, long_b, *fillers]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pq.write_table(pa.table(df), tmp_path / "documents.parquet")
+
+    # fixture property: the adversarial pairs are IN the relation but
+    # OUT of the unguarded candidate filter (bigram jaccard < 1/2)
+    def bigrams(s):
+        t = s.split()
+        return {f"{x} {y}" for x, y in zip(t, t[1:])}
+
+    for x, y in ((s1a, s1b), (s2a, s2b)):
+        inter = len(bigrams(x) & bigrams(y))
+        union = len(bigrams(x) | bigrams(y))
+        assert 2 * inter < union, "fixture must defeat the prefix filter"
+        assert Q._lev_banded(x.encode(), y.encode(), Q._EDIT_MAX) <= Q._EDIT_MAX
+
+    got = Q.QUERIES["edit_pairs_docs"](str(tmp_path)).to_pandas()
+    got_pairs = {(int(r.a), int(r.b)): int(r.edit_dist)
+                 for r in got.itertuples(index=False)}
+
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = Q._lev_banded(texts[i].encode(), texts[j].encode(),
+                              Q._EDIT_MAX)
+            if d <= Q._EDIT_MAX:
+                want[(i, j)] = d
+    assert (0, 1) in want and (2, 3) in want and (4, 5) in want
+    assert got_pairs == want
