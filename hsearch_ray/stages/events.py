@@ -920,11 +920,22 @@ def throttle_events(events_ds, gap_sec: int = 3600):
     previous event of the SAME (user, type) — in (ts, event_id) order —
     is more than ``gap_sec`` older (or absent).  Exactly DuckDB's
     ``lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts,
-    event_id)`` formulation, as the module-standard sorted-block scan:
-    one distributed sort by (user, type, ts, id), a vectorized per-block
-    keep mask over interior users, and block-edge users spilled raw to
-    the O(blocks) per-user regroup.  Returns a Dataset of kept
-    ``event_id`` rows — at scale it streams to a sink."""
+    event_id)`` formulation.
+
+    Unlike the run-aggregate stages in this module (sessionize etc.,
+    whose per-run state forces spilling whole boundary runs), the
+    throttle decision depends ONLY on the immediate predecessor row, so
+    the spill is EXACTLY TWO ROWS PER BLOCK: the block's first row
+    (decision pending — its predecessor may close the previous block)
+    and the block's last row (predecessor info for the next block).
+    Every other row resolves in-block.  Spill volume is therefore a
+    hard O(blocks) — independent of user skew; a heavy-hitter user
+    spanning many blocks contributes nothing beyond those two rows per
+    block.  The resolve pass sorts the O(2·blocks) spilled rows by the
+    same key (reproducing their relative global order, where each
+    pending row's true predecessor is adjacent) in one small task.
+    Returns a Dataset of kept ``event_id`` rows — at scale it streams
+    to a sink."""
     gap_us = I64(gap_sec) * I64(1_000_000)
 
     def _prep(batch: pa.Table) -> pa.Table:
@@ -958,12 +969,16 @@ def throttle_events(events_ds, gap_sec: int = 3600):
         et = batch["event_type"].to_numpy(zero_copy_only=False)
         ts = batch["ts_us"].to_numpy(zero_copy_only=False)
         eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        edge = (user == user[0]) | (user == user[-1])
         kept = _keep_mask(user, et, ts)
-        # interior rows: row 0 is always edge, so every interior row's
-        # in-block predecessor IS its global (user, type) predecessor
-        keep_i = np.nonzero(~edge & kept)[0]
-        spill = np.nonzero(edge)[0]
+        # rows 1..n-1: the in-block predecessor IS the global
+        # predecessor, so their decision is final here
+        keep_i = np.nonzero(kept)[0]
+        keep_i = keep_i[keep_i > 0]
+        # spill kind bitmask: 1 = decision pending (block's first row),
+        # 2 = predecessor info (block's last row); a 1-row block is both
+        spill = np.array([0, n - 1], dtype=np.int64)[: 2 if n > 1 else 1]
+        kinds = (np.array([1, 2], dtype=np.int8)[: spill.size]
+                 if n > 1 else np.array([3], dtype=np.int8))
         return pa.table({
             "event_id": pa.array(
                 np.concatenate([eid[keep_i], eid[spill]]), pa.int64()),
@@ -977,8 +992,8 @@ def throttle_events(events_ds, gap_sec: int = 3600):
                 np.concatenate([np.zeros(keep_i.size, I64), ts[spill]]),
                 pa.int64()),
             "kind": pa.array(
-                np.concatenate([np.zeros(keep_i.size, np.int8),
-                                np.ones(spill.size, np.int8)]), pa.int8()),
+                np.concatenate([np.zeros(keep_i.size, np.int8), kinds]),
+                pa.int8()),
         })
 
     scanned = (
@@ -994,18 +1009,27 @@ def throttle_events(events_ds, gap_sec: int = 3600):
     interior = scanned.filter(expr="kind == 0").map_batches(
         _narrow, batch_format="pyarrow")
 
-    def _regroup(group: pa.Table) -> pa.Table:
-        et = group["event_type"].to_numpy(zero_copy_only=False)
-        ts = group["ts_us"].to_numpy(zero_copy_only=False)
-        eid = group["event_id"].to_numpy(zero_copy_only=False)
-        user = group["user_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, et))
+    def _resolve(batch: pa.Table) -> pa.Table:
+        """One task over the O(2·blocks) spilled rows, sorted back into
+        their relative global order: each pending row's true global
+        predecessor (the previous block's last row) is adjacent, so the
+        same keep mask finalizes it."""
+        if batch.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64())})
+        user = batch["user_id"].to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False)
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, et, user))
         kept = _keep_mask(user[order], et[order], ts[order])
-        return pa.table({"event_id": pa.array(eid[order][kept], pa.int64())})
+        pending = (kind[order] & 1).astype(bool)
+        return pa.table({
+            "event_id": pa.array(eid[order][kept & pending], pa.int64())})
 
     spill_kept = (
-        scanned.filter(expr="kind == 1")
-        .groupby("user_id")
-        .map_groups(_regroup, batch_format="pyarrow")
+        scanned.filter(expr="kind > 0")
+        .repartition(1)
+        .map_batches(_resolve, batch_size=None, batch_format="pyarrow")
     )
     return interior.union(spill_kept)

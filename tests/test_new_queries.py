@@ -1169,6 +1169,24 @@ def test_throttle_strictness_and_spill(ray_session):
         got = set(throttle_events(ds).to_pandas()["event_id"])
         assert got == want, nblocks
 
+    # heavy-hitter stress: ONE user spanning every block (the case the
+    # O(2 rows/block) spill exists for) — alternating 1s/2h gaps, so
+    # every other event survives; identical at 1 and 32 blocks
+    n = 4096
+    gaps = np.where(np.arange(n) % 2 == 1, 1, 2 * H)
+    secs = np.cumsum(gaps)
+    hot = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.zeros(n, dtype=np.int64),
+        "event_type": ["click"] * n,
+        "ts": pd.to_datetime(secs, unit="s").astype("datetime64[us]"),
+    })
+    hot_want = set(range(0, n, 2))  # evens start each 1s-pair
+    for nblocks in (1, 32):
+        ds = ray.data.from_pandas(hot).repartition(nblocks)
+        got = set(throttle_events(ds).to_pandas()["event_id"])
+        assert got == hot_want, nblocks
+
 
 def test_grouped_hll_accuracy_and_determinism(ray_session):
     """Grouped HLL per-group estimates land within 5% of exact distinct
