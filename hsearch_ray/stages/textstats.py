@@ -132,25 +132,142 @@ def langid_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": df["doc_id"], "predicted": predicted})
 
 
+# ---------------------------------------------------------------------
+# Arrow-native kernels (the scrub_batch discipline: RE2 via
+# pyarrow.compute on zero-copy batches, no pandas conversion).  The
+# pandas *_batch kernels above stay as the readable reference — a
+# pytest pins arrow == pandas on a fuzz corpus, and the SQL oracles
+# check the arrow path end to end (the wrappers below use it).
+# ---------------------------------------------------------------------
+
+def token_count_arrow(batch):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = pc.count_substring_regex(batch["text"], r"\S+")
+    return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                     "n_tokens": n.cast(pa.int64())})
+
+
+def quality_stats_arrow(batch):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = batch["text"]
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    stripped = pc.utf8_length(
+        pc.replace_substring(text, pattern=" ", replacement=""))
+    n_spaces = pc.subtract(n_chars, stripped.cast(pa.int64()))
+    n_tokens = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+    nc = n_chars.to_numpy(zero_copy_only=False)
+    nsp = n_spaces.to_numpy(zero_copy_only=False)
+    nt = n_tokens.to_numpy(zero_copy_only=False)
+    avg = np.round((nc - nsp) / np.maximum(nt, 1), 6)
+    return pa.table({
+        "doc_id": batch["doc_id"].cast(pa.int64()),
+        "n_chars_calc": n_chars,
+        "n_spaces": n_spaces,
+        "n_tokens": n_tokens,
+        "avg_token_len": pa.array(avg, pa.float64()),
+    })
+
+
+def stopword_stats_arrow(batch):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch["text"]), pattern=r"\s+").combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype("int64")
+    flat = toks.values
+    # split emits empty strings at run boundaries — they are not tokens
+    nonempty = pc.greater(pc.utf8_length(flat), 0)
+    is_stop = pc.and_(nonempty, pc.is_in(
+        flat, value_set=pa.array(STOPWORDS, pa.string())))
+    ne = nonempty.to_numpy(zero_copy_only=False).astype("int64")
+    st = is_stop.to_numpy(zero_copy_only=False).astype("int64")
+    starts = offsets[:-1] - offsets[0]
+    ends = offsets[-1] - offsets[0]
+    cum_ne = np.concatenate([[0], np.cumsum(ne[: ends])])
+    cum_st = np.concatenate([[0], np.cumsum(st[: ends])])
+    stops_rel = offsets[1:] - offsets[0]
+    n_tokens = cum_ne[stops_rel] - cum_ne[starts]
+    n_stop = cum_st[stops_rel] - cum_st[starts]
+    keep = n_tokens > 0
+    ratio = np.round(n_stop[keep] / n_tokens[keep], 6)
+    return pa.table({
+        "doc_id": batch["doc_id"].cast(pa.int64()).filter(pa.array(keep)),
+        "n_tokens": pa.array(n_tokens[keep], pa.int64()),
+        "n_stop": pa.array(n_stop[keep], pa.int64()),
+        "stop_ratio": pa.array(ratio, pa.float64()),
+    })
+
+
+def bpe_token_count_arrow(batch):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = pc.count_substring_regex(batch["text"], BPE_RE)
+    return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                     "n_bpe_tokens": n.cast(pa.int64())})
+
+
+def langid_arrow(batch):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    text = batch["text"]
+    n_chars = pc.utf8_length(text).cast(pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+
+    def count(p: str):
+        removed = pc.utf8_length(
+            pc.replace_substring(text, pattern=p, replacement="")
+        ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return (n_chars - removed) // len(p)
+
+    s = {lang: sum(count(m) for m in ms)
+         for lang, ms in LANG_MARKERS.items()}
+    c_en, c_de, c_fr, c_es = s["en"], s["de"], s["fr"], s["es"]
+    predicted = np.select(
+        [
+            (c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es) & (c_en > 0),
+            (c_de >= c_fr) & (c_de >= c_es) & (c_de > 0),
+            (c_fr >= c_es) & (c_fr > 0),
+            c_es > 0,
+        ],
+        ["en", "de", "fr", "es"],
+        default="other",
+    )
+    return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                     "predicted": pa.array(predicted, pa.string())})
+
+
 def token_counts(docs_ds):
-    return docs_ds.map_batches(token_count_batch, batch_format="pandas", batch_size=4096)
+    return docs_ds.map_batches(token_count_arrow, batch_format="pyarrow",
+                               batch_size=4096)
 
 
 def quality_stats(docs_ds):
-    return docs_ds.map_batches(quality_stats_batch, batch_format="pandas", batch_size=4096)
+    return docs_ds.map_batches(quality_stats_arrow, batch_format="pyarrow",
+                               batch_size=4096)
 
 
 def langid(docs_ds):
-    return docs_ds.map_batches(langid_batch, batch_format="pandas", batch_size=4096)
+    return docs_ds.map_batches(langid_arrow, batch_format="pyarrow",
+                               batch_size=4096)
 
 
 def stopword_stats(docs_ds):
-    return docs_ds.map_batches(stopword_stats_batch, batch_format="pandas",
+    return docs_ds.map_batches(stopword_stats_arrow, batch_format="pyarrow",
                                batch_size=4096)
 
 
 def bpe_token_counts(docs_ds):
-    return docs_ds.map_batches(bpe_token_count_batch, batch_format="pandas",
+    return docs_ds.map_batches(bpe_token_count_arrow, batch_format="pyarrow",
                                batch_size=4096)
 
 

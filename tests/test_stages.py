@@ -337,3 +337,48 @@ def test_cut_dup_spans_matches_bruteforce(ray_session):
     assert got[5] == ("short", 0) and got[6] == ("", 0)
     assert got[4][0] == "" and got[4][1] == len(shared)
     assert got[1] == (docs[1], 0)  # min-id owner keeps every span
+
+
+def test_textstats_arrow_kernels_equal_pandas_reference():
+    """The Arrow-native kernels (pyarrow.compute, zero pandas copies)
+    must agree value-for-value with the readable pandas reference
+    kernels on a fuzz corpus covering unicode, CRLF, leading/trailing
+    whitespace, zero-token docs and marker-word collisions."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from hsearch_ray.stages import textstats as T
+
+    rng = np.random.default_rng(4)
+    words = ["the", "und", "le", "los", "Zürich", "naïve", "x1",
+             "...", "a", "--", "der", "que", "et", "of", "die"]
+    texts = []
+    for i in range(200):
+        n = int(rng.integers(0, 30))
+        t = " ".join(rng.choice(words, n))
+        if i % 7 == 0:
+            t = "  " + t + "\t"
+        if i % 11 == 0:
+            t = t.replace(" ", "\r\n", 1)
+        if i % 13 == 0:
+            t = ""
+        texts.append(t)
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    batch = pa.table(df)
+
+    for arrow_fn, pandas_fn, sort_cols in (
+        (T.token_count_arrow, T.token_count_batch, ["doc_id"]),
+        (T.quality_stats_arrow, T.quality_stats_batch, ["doc_id"]),
+        (T.stopword_stats_arrow, T.stopword_stats_batch, ["doc_id"]),
+        (T.bpe_token_count_arrow, T.bpe_token_count_batch, ["doc_id"]),
+        (T.langid_arrow, T.langid_batch, ["doc_id"]),
+    ):
+        got = arrow_fn(batch).to_pandas().sort_values(sort_cols) \
+            .reset_index(drop=True)
+        want = pandas_fn(df).reset_index(drop=True)
+        want = pd.DataFrame({c: want[c].to_numpy() for c in want.columns}) \
+            .sort_values(sort_cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), \
+            arrow_fn.__name__
