@@ -70,31 +70,48 @@ def q_exact_dedup_docs(sf_dir: str):
 
 
 def q_exact_dup_pairs_docs(sf_dir: str):
-    """All (a,b) doc pairs with byte-identical text, a<b (D1 pair form)."""
+    """All (a,b) doc pairs with byte-identical text, a<b (D1 pair form).
+    Only hashes with count > 1 reach the driver (O(dups), the
+    exact_dedup broadcast discipline); membership ships ONCE via
+    ray.put + sorted-array searchsorted (not a closure re-pickled per
+    task), and pair expansion runs DISTRIBUTED per dup-hash group
+    (vectorized triu inside map_groups) — no driver pandas."""
+    from hsearch_ray.stages.agg import grouped_agg_ds
+    from hsearch_ray.stages.verify import _in_sorted
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    hashed = ds.map_batches(_texthash_batch, batch_format="pandas",
+                            batch_size=4096).materialize()
+    stats = grouped_agg_ds(hashed, ["h"], {}, count_alias="n")
+    dup_df = stats.filter(expr="n > 1").select_columns(["h"]).to_pandas()
+    # an empty Dataset's to_pandas drops the schema entirely
+    dup_h = np.sort(dup_df["h"].to_numpy(dtype=np.int64)) \
+        if "h" in dup_df.columns else np.empty(0, np.int64)
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+    if dup_h.size == 0:
+        return empty  # pa.Table keeps the (a, b) schema; an empty
+        # Dataset's to_pandas would drop it
+    dup_ref = ray.put(dup_h)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
+    def _member(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        keep = _in_sorted(ray.get(dup_ref), h)
+        return batch.select(["h", "doc_id"]).filter(pa.array(keep))
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
         if ids.size < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
+            return empty
         ii, jj = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj]})
+        return pa.table({"a": pa.array(ids[ii], pa.int64()),
+                         "b": pa.array(ids[jj], pa.int64())})
 
-    hashed = ds.map_batches(_texthash_batch, batch_format="pandas", batch_size=4096)
-    stats = grouped_agg(hashed, ["h"], {"doc_id": ["min"]}, count_alias="n")
-    dup_h = set(stats.loc[stats["n"] > 1, "h"])
-    if not dup_h:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    dup_rows = hashed.map_batches(
-        lambda df: df[df["h"].isin(dup_h)][["h", "doc_id"]], batch_format="pandas"
-    ).to_pandas()
-    out = (
-        dup_rows.groupby("h", sort=False)
-        .apply(pairs, include_groups=False)
-        .reset_index(drop=True)
+    return (
+        hashed.map_batches(_member, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(_pairs, batch_format="pyarrow")
     )
-    return out[["a", "b"]].astype("int64")
 
 
 def _docs_as_corpus(sf_dir: str, filter_expr: str | None = None):
