@@ -58,6 +58,16 @@ class PipelineConfig:
     # file id; each member pairs with its `window` ring successors.  0
     # disables recovery (star edges only).
     hot_bucket_window: int = 4
+    # --- disk-staged candidate exchange (the 61M-file envelope lever):
+    #     when > 1, the banded postings land ONCE in parquet partitioned
+    #     by the top bits of the bucket key, and each key range runs its
+    #     sort + run scan separately, so the object store holds only
+    #     1/ranges of the exchange at a time (the spill non-convergence
+    #     post-mortem in BASELINE.md: the in-flight gkey sort is the
+    #     binding per-node term).  Rounded up to a power of two.  0/1 =
+    #     the ordinary single-pass in-store exchange. ---
+    exchange_stage_ranges: int = 0
+    exchange_stage_dir: str = "/tmp/hsearch_ray_stage"
     # --- similarity-space normalization (M6 analog: compressed-alphabet
     #     encode, pcluster/src/pcluster/hash_search.cpp:34-75 murphy10 —
     #     matching robust to symbol-level churn).  For code, the churn is

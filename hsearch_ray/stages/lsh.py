@@ -673,6 +673,61 @@ def simhash_dup_pairs(sig_ds, max_hamming: int = 3, num_bands: int = 4,
                             batch_size=65536)
 
 
+def _staged_runs(keyed_ds, cfg: PipelineConfig, cap: int, window: int):
+    """Disk-staged candidate exchange: postings land ONCE in parquet
+    hive-partitioned by the top bits of gkey, then each key range runs
+    its sort + run scan SEQUENTIALLY — the object store holds only one
+    range's postings at a time (1/ranges of the exchange), the envelope
+    lever for corpora whose posting working set exceeds the per-node
+    store (BASELINE.md, 61.44M post-mortem).  A bucket's postings all
+    share one gkey, so a bucket lives entirely inside one range and the
+    run/spill semantics are unchanged; the emitted run rows (pairs +
+    spill + histogram) are orders of magnitude smaller than the
+    postings, so unioning them back is cheap.  Trades one parquet
+    write+read of the postings for the bounded in-flight exchange."""
+    import os
+    import shutil
+    import uuid
+
+    import ray.data as _rd
+
+    bits = max(1, int(np.ceil(np.log2(cfg.exchange_stage_ranges))))
+    n_ranges = 1 << bits
+    stage = os.path.join(cfg.exchange_stage_dir,
+                         f"exchange_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+
+    def _rng(batch: pa.Table) -> pa.Table:
+        g = batch["gkey"].to_numpy(zero_copy_only=False).view(np.uint64)
+        r = (g >> np.uint64(64 - bits)).astype(I64)
+        return batch.append_column("rng", pa.array(r, pa.int64()))
+
+    cols = ["gkey", "file_id"] + (
+        ["ord"] if "ord" in keyed_ds.schema().names else [])
+    keyed_ds.map_batches(_rng, batch_format="pyarrow").write_parquet(
+        stage, partition_cols=["rng"])
+    parts = []
+    try:
+        for r in range(n_ranges):
+            pdir = os.path.join(stage, f"rng={r}")
+            if not os.path.isdir(pdir):
+                continue
+            part = _rd.read_parquet(pdir, columns=cols)
+            parts.append(
+                part.sort("gkey")
+                .map_batches(_emit_bucket_runs,
+                             fn_kwargs={"cap": cap, "window": window},
+                             batch_size=None, batch_format="pyarrow")
+                .materialize()
+            )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    if not parts:
+        schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                            ("kind", pa.int8())])
+        return ray.data.from_arrow(schema.empty_table())
+    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+
+
 def candidate_pairs(banded_ds, cfg: PipelineConfig):
     """banded rows -> distinct candidate pair Dataset (a < b) + metrics.
 
@@ -699,13 +754,17 @@ def candidate_pairs(banded_ds, cfg: PipelineConfig):
             cols["ord"] = batch["ord"].cast(pa.int64())
         return pa.table(cols)
 
-    runs = (
-        banded_ds.map_batches(_to_gkey, batch_format="pyarrow")
-        .sort("gkey")
-        .map_batches(_emit_bucket_runs, fn_kwargs={"cap": cap, "window": window},
-                     batch_size=None, batch_format="pyarrow")
-        .materialize()
-    )
+    keyed = banded_ds.map_batches(_to_gkey, batch_format="pyarrow")
+    if cfg.exchange_stage_ranges > 1:
+        runs = _staged_runs(keyed, cfg, cap, window)
+    else:
+        runs = (
+            keyed.sort("gkey")
+            .map_batches(_emit_bucket_runs,
+                         fn_kwargs={"cap": cap, "window": window},
+                         batch_size=None, batch_format="pyarrow")
+            .materialize()
+        )
     interior = runs.filter(expr="kind == 0").map_batches(
         _project_ab, batch_format="pyarrow"
     )

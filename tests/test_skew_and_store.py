@@ -444,3 +444,40 @@ def test_store_shard_count_scales_and_layouts_agree(ray_session):
     # token-set store (setjoin.build_set_store): 262k docs/shard
     assert default_num_shards(1_048_576, 262_144,
                               cpu_floor=cpus // 2) == max(4, cpus // 2, 4)
+
+
+def test_staged_exchange_equals_single_pass(ray_session):
+    """cfg.exchange_stage_ranges partitions the candidate exchange into
+    key-range passes staged through parquet (the 61M envelope lever);
+    pairs and clusters must be IDENTICAL to the single-pass exchange —
+    bucket keys never span ranges, so run/spill semantics are unchanged."""
+    import ray.data
+
+    from hsearch_ray.pipelines.dedup import dedup_pipeline
+
+    rng = np.random.Generator(np.random.PCG64(31))
+    rows = []
+    base = " ".join(str(rng.integers(0, 9999)) for _ in range(60))
+    for i in range(30):
+        words = base.split()
+        words[2 * i % len(words)] = f"w{i}"
+        rows.append(("r", f"c{i}.py", " ".join(words)))  # near-clone family
+    for i in range(30):
+        rows.append(("r", f"u{i}.py", " ".join(
+            str(rng.integers(0, 9999)) for _ in range(60))))
+    corpus = _corpus(rows)
+
+    plain = dedup_pipeline(ray.data.from_arrow(corpus), PipelineConfig())
+    staged = dedup_pipeline(
+        ray.data.from_arrow(corpus),
+        PipelineConfig(exchange_stage_ranges=4))
+
+    def cmap(res):
+        return {int(r["file_id"]): int(r["cluster_id"])
+                for r in res.clusters.take_all()}
+
+    def pset(res):
+        return {(int(r["a"]), int(r["b"])) for r in res.pairs.take_all()}
+
+    assert cmap(staged) == cmap(plain)
+    assert pset(staged) == pset(plain)
