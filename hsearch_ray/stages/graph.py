@@ -160,6 +160,10 @@ def triangle_count(edges_ds) -> int:
     cluster."""
     import ray
 
+    # the edge set is consumed THREE times (base, wedge side, closure
+    # side); a lazy input (e.g. a similarity join) would re-execute its
+    # whole plan per consumption — pin it once, edges are the small side
+    edges_ds = edges_ds.materialize()
     num_partitions = default_num_partitions()
     e2 = edges_ds.rename_columns(["w_mid", "w_hi"])
     wedges = edges_ds.join(
