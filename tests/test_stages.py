@@ -178,7 +178,8 @@ def test_exact_dedup_queries_on_planted_dups(ray_session, tmp_path):
     surv = q_exact_dedup_docs(str(d)).sort_values("doc_id")
     assert list(surv["doc_id"]) == [10, 30, 50]
     assert list(surv["n_copies"]) == [3, 1, 1]
-    pairs = q_exact_dup_pairs_docs(str(d)).sort_values(["a", "b"])
+    pairs = (q_exact_dup_pairs_docs(str(d)).to_pandas()
+             .sort_values(["a", "b"]))
     assert list(map(tuple, pairs.to_numpy())) == [(10, 20), (10, 40),
                                                   (20, 40)]
 
