@@ -45,6 +45,10 @@ HEADLINE_ONLY = os.environ.get("GRAFT_BENCH_HEADLINE_ONLY", "0") == "1"
 PREFILTER = os.environ.get("GRAFT_BENCH_PREFILTER", "0") == "1"
 # exact,near dup fractions per amplified copy (rest are distinct files)
 DUP_RATES = tuple(float(x) for x in os.environ.get("GRAFT_BENCH_DUPS", "0.15,0.15").split(","))
+# GRAFT_BENCH_STAGE_RANGES>1 turns on the disk-staged candidate exchange
+# (cfg.exchange_stage_ranges): the envelope lever for corpora whose
+# posting working set exceeds the per-node object store (61.44M runs).
+STAGE_RANGES = int(os.environ.get("GRAFT_BENCH_STAGE_RANGES", "0"))
 
 
 def corpus_cache_dir(sf_dir: str, factor: int) -> str:
@@ -68,8 +72,10 @@ def ensure_corpus_parquet(sf_dir: str, factor: int) -> str:
 
         shutil.rmtree(tmp)
     os.makedirs(tmp)
-    chunks = _amplified_corpus(sf_dir, factor)
-    for i, t in enumerate(chunks):
+    # stream: each yielded chunk is written and freed immediately, so
+    # peak driver memory is one chunk (~256k rows), not the whole
+    # amplified corpus (x12288 = 61.44M rows would be ~40+ GB resident)
+    for i, t in enumerate(_amplified_corpus(sf_dir, factor)):
         pq.write_table(t, os.path.join(tmp, f"part-{i:05d}.parquet"))
     os.replace(tmp, out)
     with open(out + ".done", "w") as f:
@@ -81,9 +87,9 @@ GROUP_SPAN = int(os.environ.get("GRAFT_BENCH_GROUP_SPAN", "48"))
 
 
 def _amplified_corpus(sf_dir: str, factor: int):
-    """documents -> corpus-shaped Arrow table replicated `factor`x with
-    seeded mutations (copy 0 of each group = group original; later copies
-    are near/exact clones of it).
+    """documents -> corpus-shaped Arrow tables (a generator of row
+    chunks) replicated `factor`x with seeded mutations (copy 0 of each
+    group = group original; later copies are near/exact clones of it).
 
     Copies are organized into GROUPS of ``GROUP_SPAN``: every group gets
     its own salted variant of the base document, and clones only ever
@@ -104,6 +110,25 @@ def _amplified_corpus(sf_dir: str, factor: int):
     lang = docs["lang"].to_pylist()
     rng = np.random.Generator(np.random.PCG64(42))
     repo, path, commit, langs, content = [], [], [], [], []
+    # flush granularity: big corpora stream out in ~256k-row chunks
+    # (bounded driver memory); small ones still split into >= ~64
+    # chunks so read_parquet yields enough blocks to parallelize
+    n_total = factor * len(texts)
+    chunk_rows = min(262_144, max(1024, -(-n_total // 64)))
+
+    def _flush():
+        t = pa.table(
+            {
+                "repo": pa.array(repo, pa.string()),
+                "path": pa.array(path, pa.string()),
+                "commit": pa.array(commit, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "content": pa.array(content, pa.string()),
+            }
+        )
+        repo.clear(); path.clear(); commit.clear()
+        langs.clear(); content.clear()
+        return t
     # realistic dup density: ~15% exact clones, ~15% near clones, the rest
     # distinct documents (every ~4th word salted per copy pushes Jaccard
     # far below threshold) — a 98%-dup corpus would measure pair-emission
@@ -149,19 +174,10 @@ def _amplified_corpus(sf_dir: str, factor: int):
             commit.append("head")
             langs.append(lang[i])
             content.append(body)
-    tbl = pa.table(
-        {
-            "repo": pa.array(repo, pa.string()),
-            "path": pa.array(path, pa.string()),
-            "commit": pa.array(commit, pa.string()),
-            "lang": pa.array(langs, pa.string()),
-            "content": pa.array(content, pa.string()),
-        }
-    )
-    # pre-chunk so from_arrow yields many blocks (a single block would
-    # serialize the whole pipeline onto one task)
-    n, step = tbl.num_rows, max(1, (tbl.num_rows + 63) // 64)
-    return [tbl.slice(i, step) for i in range(0, n, step)]
+            if len(repo) >= chunk_rows:
+                yield _flush()
+    if repo:
+        yield _flush()
 
 
 def run_bench() -> dict:
@@ -201,8 +217,12 @@ def run_bench() -> dict:
     corpus_dir = ensure_corpus_parquet(SF_DIR, AMPLIFY)
     corpus_ds = ray.data.read_parquet(corpus_dir)
     n_files = corpus_ds.count()
-    cfg = PipelineConfig(use_sketch_prefilter=True) if PREFILTER \
-        else PipelineConfig()
+    knobs = {}
+    if PREFILTER:
+        knobs["use_sketch_prefilter"] = True
+    if STAGE_RANGES > 1:
+        knobs["exchange_stage_ranges"] = STAGE_RANGES
+    cfg = PipelineConfig(**knobs)
     warm = corpus_ds.limit(1024)
     dedup_pipeline(warm, cfg).clusters.count()
 
