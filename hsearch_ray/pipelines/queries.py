@@ -3832,6 +3832,22 @@ def _lev_banded(sa: bytes, sb: bytes, k: int) -> int:
         return max(la, lb)
     a = np.frombuffer(sa, np.uint8)
     b = np.frombuffer(sb, np.uint8)
+    # strip the common prefix and suffix (distance-preserving for
+    # Levenshtein): near-identical docs then DP only over the small
+    # differing middle instead of the full lengths
+    n = min(la, lb)
+    neq = a[:n] != b[:n]
+    p = int(neq.argmax()) if neq.any() else n
+    a, b = a[p:], b[p:]
+    n2 = min(a.size, b.size)
+    if n2:
+        neq2 = a[-n2:] != b[-n2:]
+        s = int(neq2[::-1].argmax()) if neq2.any() else n2
+        if s:
+            a, b = a[:-s], b[:-s]
+    la, lb = a.size, b.size
+    if la == 0 or lb == 0:
+        return int(max(la, lb))
     idx = np.arange(1, lb + 1, dtype=np.int64)
     prev = np.arange(lb + 1, dtype=np.int64)
     for i in range(1, la + 1):
@@ -3939,7 +3955,15 @@ def q_edit_pairs_docs(sf_dir: str):
 
     arm2 = meta.map_batches(_arm2, batch_format="pyarrow")
 
-    # prefix-filter arm, restricted to both-above-floor pairs
+    # prefix-filter arm, restricted to both-above-floor pairs; the
+    # byte-length band |bl_a - bl_b| <= k (necessary for edit <= k) is
+    # applied HERE via the sharded kv store, before the expensive
+    # text-attach joins + DP — template corpora emit many same-shape
+    # Jaccard>=1/2 pairs whose lengths already rule them out
+    from hsearch_ray.stages.lsh import _kv_lookup, build_kv_store
+
+    bl_store_ref = ray.put(build_kv_store(
+        meta.select_columns(["doc_id", "bl"]), "doc_id", "bl"))
     toks = token_bigram_sets(docs)
 
     def _both_big(batch: pa.Table) -> pa.Table:
@@ -3949,6 +3973,10 @@ def q_edit_pairs_docs(sf_dir: str):
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
         keep = ~_in_sorted(dg, a) & ~_in_sorted(dg, b)
+        look = _kv_lookup(bl_store_ref)
+        bla, oka = look.lookup(a)
+        blb, okb = look.lookup(b)
+        keep &= oka & okb & (np.abs(bla - blb) <= _EDIT_MAX)
         return batch.select(["a", "b"]).filter(pa.array(keep))
 
     arm1 = set_similarity_join(toks, num=1, den=2).map_batches(

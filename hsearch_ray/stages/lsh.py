@@ -93,12 +93,36 @@ def _packed_keys(band: np.ndarray, bh: np.ndarray) -> np.ndarray:
     return H.splitmix64(band.astype(np.uint64) * np.uint64(0x9E37)) ^ bh.view(np.uint64)
 
 
-def _pairs_within_runs(keys: np.ndarray, fids: np.ndarray, cap: int):
+def _ppjoin_keep(ax: np.ndarray, ay: np.ndarray,
+                 num: int, den: int) -> np.ndarray:
+    """PPJoin positional + size filter over packed (size<<32 | prefix
+    position) posting values (Xiao, Wang, Lin & Yu, WWW'08).  An
+    emission from the pair's FIRST common token x has no common token
+    before x, so overlap <= 1 + min(sa-pa-1, sb-pb-1); Jaccard >=
+    num/den needs overlap >= ceil(num*(sa+sb)/(num+den)).  Dropping an
+    emission that fails the bound is recall-safe: a true pair's
+    first-common-token emission (provably inside both prefixes) always
+    passes, and pair dedup keeps one surviving emission."""
+    sx, px = ax >> np.int64(32), ax & np.int64(0xFFFFFFFF)
+    sy, py = ay >> np.int64(32), ay & np.int64(0xFFFFFFFF)
+    minreq = -(-num * (sx + sy)) // (num + den)
+    mn = np.minimum(sx, sy)
+    keep = den * mn >= num * (sx + sy - mn)          # size compatibility
+    # 1 + min(sa-pa-1, sb-pb-1) == min(sa-pa, sb-pb) for 0-based pos
+    keep &= np.minimum(sx - px, sy - py) >= minreq
+    return keep
+
+
+def _pairs_within_runs(keys: np.ndarray, fids: np.ndarray, cap: int,
+                       aux: np.ndarray | None = None,
+                       pos_filter: tuple[int, int] | None = None):
     """All-pairs within equal-key runs of a KEY-SORTED array, fully
     vectorized: one offset-d pass per distance (runs are <= cap long, and
     mostly length 2-3, so passes terminate fast).  This is the J5 analog
     (sorted-run pairing, gen_kmers_from_suffix_array.cpp:51-65) applied
-    to LSH buckets."""
+    to LSH buckets.  With ``pos_filter=(num, den)`` and packed ``aux``
+    values, emissions failing the PPJoin positional bound are dropped
+    at formation (see _ppjoin_keep)."""
     out_a, out_b = [], []
     n = keys.size
     for d in range(1, min(cap, n)):
@@ -106,6 +130,9 @@ def _pairs_within_runs(keys: np.ndarray, fids: np.ndarray, cap: int):
         if not same.any():
             break
         x, y = fids[:-d][same], fids[d:][same]
+        if pos_filter is not None and aux is not None:
+            keep = _ppjoin_keep(aux[:-d][same], aux[d:][same], *pos_filter)
+            x, y = x[keep], y[keep]
         out_a.append(np.minimum(x, y))
         out_b.append(np.maximum(x, y))
     if not out_a:
@@ -241,7 +268,8 @@ def _ring_window_pairs(members: np.ndarray, order_key: np.ndarray, window: int):
     return np.concatenate(outs_a), np.concatenate(outs_b)
 
 
-def _emit_bucket_runs(batch: pa.Table, cap: int, window: int = 0) -> pa.Table:
+def _emit_bucket_runs(batch: pa.Table, cap: int, window: int = 0,
+                      pos_filter: tuple[int, int] | None = None) -> pa.Table:
     """Process one (gkey)-sorted block in a single vectorized pass:
 
       * interior runs of size 2..cap -> ALL pairs (offset-distance trick)
@@ -291,7 +319,10 @@ def _emit_bucket_runs(batch: pa.Table, cap: int, window: int = 0) -> pa.Table:
         # cold runs: all pairs
         cold_mask = (row_len >= 2) & (row_len <= cap)
         if cold_mask.any():
-            pa_, pb_ = _pairs_within_runs(ki[cold_mask], fi[cold_mask], cap)
+            pa_, pb_ = _pairs_within_runs(
+                ki[cold_mask], fi[cold_mask], cap,
+                aux=oi[cold_mask] if oi is not None else None,
+                pos_filter=pos_filter)
             out_a.append(pa_)
             out_b.append(pb_)
             out_kind.append(np.zeros(pa_.size, np.int8))
@@ -385,17 +416,22 @@ def _count_sorted_pair_block(batch: pa.Table) -> pa.Table:
     )
 
 
-def counted_pairs_from_keyed(keyed_ds, cap: int, window: int = 0):
+def counted_pairs_from_keyed(keyed_ds, cap: int, window: int = 0,
+                             pos_filter: tuple[int, int] | None = None):
     """(gkey, file_id[, ord]) posting rows -> ((a, b, n) Dataset, ids)
     where n counts the distinct keys shared by the pair.  Same physical
     plan as the LSH candidate path: ONE sort by key + vectorized run
     scan (with worker-side regroup of boundary runs and hub-star +
     optional ring-window recovery for hot keys), then ONE sort by
     (a, b) with per-block run counting.  No per-key Python, no driver
-    funnel."""
+    funnel.  With ``pos_filter=(num, den)`` the "ord" column is read as
+    packed (set_size<<32 | prefix_pos) and emissions failing the PPJoin
+    positional bound are dropped at formation (_ppjoin_keep)."""
     runs = (
         keyed_ds.sort("gkey")
-        .map_batches(_emit_bucket_runs, fn_kwargs={"cap": cap, "window": window},
+        .map_batches(_emit_bucket_runs,
+                     fn_kwargs={"cap": cap, "window": window,
+                                "pos_filter": pos_filter},
                      batch_size=None, batch_format="pyarrow")
         .materialize()
     )
@@ -405,7 +441,8 @@ def counted_pairs_from_keyed(keyed_ds, cap: int, window: int = 0):
     spill_pairs = (
         runs.filter(expr="kind == 1")
         .groupby("a")
-        .map_groups(_emit_spill_group(cap, window), batch_format="pyarrow")
+        .map_groups(_emit_spill_group(cap, window, pos_filter),
+                    batch_format="pyarrow")
     )
     counted = (
         interior.union(spill_pairs)
@@ -450,7 +487,8 @@ def counted_pairs_from_keyed(keyed_ds, cap: int, window: int = 0):
     return body, ids
 
 
-def _emit_spill_group(cap: int, window: int = 0):
+def _emit_spill_group(cap: int, window: int = 0,
+                      pos_filter: tuple[int, int] | None = None):
     """Pair emission for ONE regrouped boundary bucket (rows: a=gkey,
     b=file_id[, o=ring order key]).  Same cold/hot policy as the block
     scan: all-pairs up to ``cap`` members, hub-star above (a mega-bucket
@@ -481,6 +519,10 @@ def _emit_spill_group(cap: int, window: int = 0):
             return pa.table({"a": pa.array(a, pa.int64()),
                              "b": pa.array(b, pa.int64())})
         ii, jj = np.triu_indices(n, k=1)
+        if pos_filter is not None and "o" in group.column_names:
+            aux = group["o"].to_numpy(zero_copy_only=False)[first]
+            keep = _ppjoin_keep(aux[ii], aux[jj], *pos_filter)
+            ii, jj = ii[keep], jj[keep]
         return pa.table({"a": pa.array(fids[ii], pa.int64()),
                          "b": pa.array(fids[jj], pa.int64())})
 

@@ -310,14 +310,15 @@ def set_similarity_join(tok_ds, num: int, den: int,
     df_ref = ray.put(build_kv_store(dfreq, "h", "n__sum"))
 
     # ---- pass 2: prefix postings under the global (df, hash) order ----
+    _P_SCHEMA = pa.schema([("gkey", pa.int64()), ("file_id", pa.int64()),
+                           ("ord", pa.int64())])
+
     def _prefix(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.schema([("gkey", pa.int64()),
-                              ("file_id", pa.int64())]).empty_table()
+            return _P_SCHEMA.empty_table()
         fids, lens, flat, _ = _list_views(batch, "toks")
         if flat.size == 0:
-            return pa.schema([("gkey", pa.int64()),
-                              ("file_id", pa.int64())]).empty_table()
+            return _P_SCHEMA.empty_table()
         dfv, ok = _kv_lookup(df_ref).lookup(flat.astype(I64))
         dfv = np.where(ok, dfv, 1)
         docrep = np.repeat(np.arange(fids.size, dtype=I64), lens)
@@ -328,15 +329,22 @@ def set_similarity_join(tok_ds, num: int, den: int,
         off = np.concatenate([np.zeros(1, I64), np.cumsum(lens)])
         within_sorted = np.arange(flat.size, dtype=I64) - \
             np.repeat(off[:-1], lens)
-        sel = order[within_sorted < np.repeat(p, lens)]
+        mask = within_sorted < np.repeat(p, lens)
+        sel = order[mask]
+        docs_sel = docrep[sel]
+        # packed (set size << 32 | 0-based position in the doc's sorted
+        # order) for the PPJoin positional filter at pair emission
+        packed = (lens[docs_sel] << np.int64(32)) | within_sorted[mask]
         return pa.table({
             "gkey": pa.array(flat[sel].astype(I64), pa.int64()),
-            "file_id": pa.array(fids[docrep[sel]], pa.int64()),
+            "file_id": pa.array(fids[docs_sel], pa.int64()),
+            "ord": pa.array(packed.astype(I64), pa.int64()),
         })
 
     postings = tok_ds.map_batches(_prefix, batch_format="pyarrow")
     cand, _ = counted_pairs_from_keyed(
-        postings, cap=cap if cap else 1 << 30, window=0
+        postings, cap=cap if cap else 1 << 30, window=0,
+        pos_filter=(num, den),
     )
 
     # ---- pass 3: exact verification against the full sets ----

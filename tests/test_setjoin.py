@@ -140,3 +140,45 @@ def test_bigram_hashes_alignment():
     # and "c d" never appears
     vx, _ = _bigram_hashes(pd.Series(["c d"]))
     assert vx.tolist()[0] not in v1.tolist()
+
+
+def test_ppjoin_positional_bound_unit():
+    """_ppjoin_keep: hand-checked packed cases.  size=10, pos=0 vs
+    size=10, pos=0 at t=1/2 needs overlap >= ceil(10+10)/3... i.e.
+    ceil(1*(20)/3)=7; bound = min(10-0, 10-0) = 10 >= 7 -> keep.
+    Same sizes but both positions 5: bound = 5 < 7 -> drop.  Size
+    mismatch 10 vs 30 at t=1/2 fails the size filter outright."""
+    from hsearch_ray.stages.lsh import _ppjoin_keep
+
+    def pack(size, pos):
+        return np.int64((size << 32) | pos)
+
+    ax = np.array([pack(10, 0), pack(10, 5), pack(10, 0)], dtype=np.int64)
+    ay = np.array([pack(10, 0), pack(10, 5), pack(30, 0)], dtype=np.int64)
+    keep = _ppjoin_keep(ax, ay, 1, 2)
+    assert keep.tolist() == [True, False, False]
+
+
+def test_ppjoin_positional_filter_exact_on_adversarial_corpus(ray_session):
+    """Docs engineered so many pairs share exactly ONE rare prefix
+    token but overlap nowhere else (the shape the positional filter
+    kills): the join must still equal brute force — the filter drops
+    emissions, never true pairs — across both ingest layouts."""
+    rng = np.random.default_rng(11)
+    texts = []
+    # 40 docs: each has the SAME rare lead-in bigram ("glue xyz") and a
+    # long disjoint tail -> every pair is a candidate via the shared
+    # rare bigram, none reaches Jaccard 1/2
+    for i in range(40):
+        tail = " ".join(f"t{i}_{j}" for j in range(20))
+        texts.append(f"glue xyz {tail}")
+    # planted true pairs (exact clones + one-edit clones)
+    for i in range(0, 8, 2):
+        texts.append(texts[i])
+        toks = texts[i + 1].split()
+        toks[int(rng.integers(0, len(toks)))] = "edited"
+        texts.append(" ".join(toks))
+    for factory in (None, _many_blocks):
+        got = _run(texts, 1, 2, ds_factory=factory)
+        want = _brute(texts, 1, 2)
+        assert got == want
