@@ -127,14 +127,17 @@ def brute_force_topk(emb_ds, query_vectors: dict[int, np.ndarray], k: int = 5):
 
 
 @ray.remote
-def _build_vec_shard(lo: int, hi: int | None, id_col: str, *blocks):
+def _build_vec_shard(lo: int, hi: int | None, id_col: str, blocks):
     """One id-range shard of the NORMALIZED embedding store, built
     directly from the dataset's Arrow blocks (same discipline as the
     shingle store, stages/verify.py:_build_shard): the driver never
     touches vector bytes.  Returns (ids_sorted, unit_matrix).  hi=None
     marks the LAST shard (unbounded above)."""
     id_parts, mat_parts = [], []
-    for tbl in blocks:
+    # refs fetched one at a time (verify._build_shard's incremental-pin
+    # discipline): builders never pin the whole embedding table
+    for ref in blocks:
+        tbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         if tbl.num_rows == 0:
             continue
         ids = tbl[id_col].to_numpy(zero_copy_only=False)
@@ -197,7 +200,7 @@ def build_vec_store(emb_ds, id_col: str = "vec_id", num_shards: int | None = Non
     shard_refs = [
         _build_vec_shard.remote(int(bounds[s]),
                                 None if s == last else int(bounds[s + 1]),
-                                id_col, *block_refs)
+                                id_col, block_refs)
         for s in range(len(bounds) - 1)
     ]
     return bounds, shard_refs, emb_ds

@@ -531,13 +531,16 @@ def _emit_spill_group(cap: int, window: int = 0,
 
 @ray.remote
 def _build_kv_shard(lo: int, hi: int | None, key_col: str, val_col: str,
-                    *blocks):
+                    blocks):
     """One id-range shard of an int64 -> int64 map, built directly from
     Arrow block refs (the driver never materializes the table).  Returns
     (keys_sorted, vals).  hi=None marks the LAST shard: unbounded above,
-    so a key of exactly int64-max is still storable."""
+    so a key of exactly int64-max is still storable.  ``blocks`` is a
+    LIST of refs fetched one at a time (verify._build_shard's
+    incremental-pin discipline) so builders never pin the whole table."""
     kp, vp = [], []
-    for tbl in blocks:
+    for ref in blocks:
+        tbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         if tbl.num_rows == 0:
             continue
         k = tbl[key_col].to_numpy(zero_copy_only=False)
@@ -593,7 +596,7 @@ def build_kv_store(ds, key_col: str, val_col: str,
     shard_refs = [
         _build_kv_shard.remote(int(bounds[s]),
                                None if s == last else int(bounds[s + 1]),
-                               key_col, val_col, *block_refs)
+                               key_col, val_col, block_refs)
         for s in range(len(bounds) - 1)
     ]
     return bounds, shard_refs

@@ -151,13 +151,17 @@ def _list_views(batch: pa.Table, col: str):
 
 
 @ray.remote
-def _build_set_shard(lo: int, hi: int | None, *blocks):
+def _build_set_shard(lo: int, hi: int | None, blocks):
     """One id-range shard of the token-SET store, built directly from
     the (file_id, toks) Dataset's Arrow block refs: (ids_sorted, starts,
     lens, values) — the reference's concatenated store + offsets layout
     (protein.hpp:14-39), same as the shingle store."""
     fid_parts, len_parts, val_parts = [], [], []
-    for tbl in blocks:
+    # refs fetched one at a time (verify._build_shard's incremental-pin
+    # discipline): builders never pin the whole token table; values are
+    # COPIED out so no view keeps the fetched block pinned
+    for ref in blocks:
+        tbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         if tbl.num_rows == 0:
             continue
         fid = tbl["file_id"].to_numpy(zero_copy_only=False)
@@ -167,10 +171,10 @@ def _build_set_shard(lo: int, hi: int | None, *blocks):
         sub = tbl.filter(pa.array(m))
         fids, lens, flat, starts = _list_views(sub, "toks")
         fid_parts.append(fids.astype(I64))
-        len_parts.append(lens)
+        len_parts.append(lens.copy())
         # starts are contiguous within a filtered block, so flat is
         # already in row order
-        val_parts.append(flat.astype(I64, copy=False))
+        val_parts.append(flat.astype(I64, copy=True))
     if not fid_parts:
         e = np.empty(0, I64)
         return e, e, e, e
@@ -218,7 +222,7 @@ def build_set_store(tok_ds, num_shards: int | None = None):
     shard_refs = [
         _build_set_shard.remote(
             int(bounds[s]), None if s == last else int(bounds[s + 1]),
-            *block_refs)
+            block_refs)
         for s in range(len(bounds) - 1)
     ]
     return ray.put((bounds[1:-1], shard_refs))

@@ -351,7 +351,7 @@ def bloom_contains(bitmap: np.ndarray, ids: np.ndarray) -> np.ndarray:
 
 @ray.remote
 def _build_shard(lo: int, hi: int, id_filter, k: int, canon: bool,
-                 with_sketch: bool, seed: int, *blocks):
+                 with_sketch: bool, seed: int, blocks):
     """Build one id-range shard of the shingle store DIRECTLY from the
     materialized corpus blocks: filter to this shard's candidate rows,
     shingle their contents, pack (ids, starts, lens, values[, sketch]).
@@ -380,7 +380,15 @@ def _build_shard(lo: int, hi: int, id_filter, k: int, canon: bool,
         payload = payload[np.searchsorted(payload, lo):
                           np.searchsorted(payload, hi)]
     fid_parts, len_parts, val_parts = [], [], []
-    for tbl in blocks:
+    # blocks arrive as a LIST of ObjectRefs (not unpacked task args):
+    # Ray then pins only the block being processed, not the whole
+    # corpus per builder — at 61.44M files, N concurrent builders each
+    # pinning every normalized block held the full corpus unevictable
+    # in plasma and the kernel OOM-killed the builders (the envelope
+    # failure this fixes).  Each ref is fetched, scanned, and released
+    # so the store can evict/spill it behind the scan.
+    for ref in blocks:
+        tbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         if tbl.num_rows == 0:
             continue
         fid = tbl["file_id"].to_numpy(zero_copy_only=False)
@@ -464,7 +472,7 @@ def build_store(corpus_ds, ids: np.ndarray, cfg: PipelineConfig,
     shard_refs = [
         _build_shard.remote(int(bounds[s]), int(bounds[s + 1]), filt_ref,
                             cfg.shingle_k, cfg.token_canonicalize,
-                            cfg.use_sketch_prefilter, cfg.seed, *block_refs)
+                            cfg.use_sketch_prefilter, cfg.seed, block_refs)
         for s in range(num_shards)
     ]
     return ray.put((bounds[1:-1], shard_refs))
