@@ -29,6 +29,12 @@ from hsearch_ray import hashing as H
 
 
 def normalize_batch(batch: pa.Table) -> pa.Table:
+    if "content" not in batch.column_names:
+        raise ValueError(
+            "corpus input must carry a 'content' column (expected schema: "
+            "repo, path, commit, lang, content — or file_id + content); got "
+            f"columns {batch.column_names}"
+        )
     content = batch["content"].cast(pa.large_binary()).to_pylist()
     n = len(content)
     if "file_id" not in batch.column_names:
